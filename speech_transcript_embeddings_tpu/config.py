@@ -1,0 +1,297 @@
+"""Typed configuration for the TPU speech↔transcript embedding framework.
+
+Replaces the reference's three nested config layers (argparse in
+trainer_unfreeze.py:1846-1905, the 385-line bash flag wrapper, and Docker env) with a
+single set of dataclasses plus ``key=value`` CLI overrides.
+
+Known reference config quirks intentionally fixed here (SURVEY.md §7):
+  * ``corruption_probability`` actually controls corruption (reference stored but never
+    consulted it — trainer_unfreeze.py:769-770),
+  * word alignment is controlled by config (reference hard-coded False at the call
+    site — trainer_unfreeze.py:1953),
+  * head input dims are derived from encoder configs (reference hard-coded 768/1024 —
+    trainer_unfreeze.py:329-330),
+  * the human-readable similarity temperature follows the loss temperature (reference
+    hard-coded 0.1 — trainer_unfreeze.py:1121).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _replace_from_dict(obj, d: dict):
+    """Recursively apply a (possibly nested) dict of overrides to a dataclass."""
+    updates = {}
+    for k, v in d.items():
+        if not hasattr(obj, k):
+            raise ValueError(f"Unknown config field {k!r} for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            updates[k] = _replace_from_dict(cur, v)
+        else:
+            updates[k] = v
+    return dataclasses.replace(obj, **updates)
+
+
+@dataclass(frozen=True)
+class TextEncoderConfig:
+    """RoBERTa/XLM-R-style bidirectional transformer encoder.
+
+    Defaults are the ``paraphrase-multilingual-mpnet-base-v2`` (XLM-R base) geometry
+    used by the reference's logged runs (SURVEY.md §2 "Pretrained encoders").
+    """
+
+    vocab_size: int = 250002
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    pad_token_id: int = 1           # RoBERTa-style: position ids offset by pad_token_id+1
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class AudioEncoderConfig:
+    """w2v-bert-2.0-style conformer encoder over stacked log-mel features.
+
+    Geometry mirrors ``facebook/w2v-bert-2.0`` (transformers Wav2Vec2BertConfig
+    defaults): 24 conformer blocks, hidden 1024, relative_key position bias.
+    """
+
+    feature_dim: int = 160          # 80 mel bins × 2 stacked frames
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    conv_kernel_size: int = 31      # depthwise conv kernel (causal, left-padded)
+    left_max_rel_pos: int = 64      # relative_key clamp window
+    right_max_rel_pos: int = 8
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    conv_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    feat_proj_dropout: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Log-mel frontend matching the w2v-bert-2.0 (SeamlessM4T) feature extractor.
+
+    Framing → remove-DC → preemphasis 0.97 → povey window → rFFT(512) → power →
+    80-bin kaldi-mel filterbank (floor 2^-23) → ln → per-utterance per-bin norm →
+    2-frame stacking to 160-dim features.
+    """
+
+    sampling_rate: int = 16000
+    frame_length: int = 400         # 25 ms
+    hop_length: int = 160           # 10 ms
+    fft_length: int = 512
+    num_mel_bins: int = 80
+    min_frequency: float = 20.0
+    max_frequency: float = 8000.0
+    preemphasis: float = 0.97
+    mel_floor: float = 1.192092955078125e-07  # 2**-23
+    stride: int = 2                 # frame stacking factor
+    per_bin_normalize: bool = True
+    use_pallas: bool = False        # fused Pallas kernel (TPU) vs pure-jnp reference
+
+
+@dataclass(frozen=True)
+class HeadsConfig:
+    """Projection / pooling / fusion heads shared by both modalities."""
+
+    projection_dim: int = 768
+    projection_hidden_dim: Optional[int] = None   # default 2 × projection_dim
+    dropout: float = 0.1
+    activation: str = "gelu"
+    use_cross_modal: bool = True
+    cross_modal_heads: int = 8
+    use_attentive_pooling: bool = True
+    use_word_alignment: bool = True
+    alignment_heads: int = 4
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
+    audio: AudioEncoderConfig = field(default_factory=AudioEncoderConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    heads: HeadsConfig = field(default_factory=HeadsConfig)
+    # compute dtype for encoder matmuls; params stay float32
+    dtype: str = "bfloat16"
+    remat: bool = True              # rematerialise encoder blocks to save HBM
+
+    @property
+    def projection_dim(self) -> int:
+        return self.heads.projection_dim
+
+
+@dataclass(frozen=True)
+class FreezeConfig:
+    """Partial-unfreeze schedule: 'full' | 'partial' | 'none'.
+
+    'partial' unfreezes the top-N transformer blocks of each encoder plus the audio
+    feature projection and text pooler-equivalents, exactly mirroring the reference's
+    requires_grad logic (trainer_unfreeze.py:354-434) — expressed here as optax param
+    labels, and as a param split so frozen subtrees never enter the backward pass.
+    """
+
+    mode: str = "partial"
+    text_layers_to_unfreeze: int = 5
+    audio_layers_to_unfreeze: int = 5
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    temperature: float = 0.1
+    alignment_weight: float = 0.5   # reference instantiates with 0.5 (trainer:1523)
+    corrupt_gamma: float = 0.35
+    # 'pairwise' = reference-parity 2-way CE over [s_pos, s_neg]
+    # 'global'   = TPU-native in-batch-negative InfoNCE, negatives all-gathered over
+    #              the data mesh axis (BASELINE.json north star)
+    kind: str = "pairwise"
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 5e-5
+    encoder_lr_divisor: float = 50.0   # discriminative LR (trainer_unfreeze.py:1489)
+    weight_decay: float = 0.01
+    warmup_steps: int = 1000
+    max_grad_norm: float = 1.0
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"      # 'common_voice' | 'local' | 'synthetic'
+    dataset_config: str = "pt"
+    data_dir: Optional[str] = None
+    max_text_length: int = 128
+    max_audio_samples: int = 480000  # 30 s at 16 kHz
+    corruption_probability: float = 1.0  # reference behavior: every sample corrupted
+    # static-shape audio bucketing (in raw samples); each bucket compiles once
+    audio_buckets: Tuple[int, ...] = (48000, 96000, 160000, 240000, 480000)
+    batch_size: int = 16
+    shuffle_seed: int = 42
+    num_synthetic_samples: int = 256  # for the synthetic source
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh. data = DP axis (batch + all-gathered negatives over ICI);
+    model = TP axis for the encoder matmuls."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1              # -1: all devices on the data axis
+    num_model: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    num_epochs: int = 30
+    accumulation_steps: int = 4     # microbatch scan inside the jitted step
+    save_every: int = 1
+    eval_every: int = 1
+    plot_every: int = 5
+    seed: int = 42
+    output_dir: str = "./runs/audio_text_model"
+    resume: bool = True             # reference had no resume path; we do
+    log_every_batches: int = 50
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    freeze: FreezeConfig = field(default_factory=FreezeConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return _replace_from_dict(cls(), json.loads(s))
+
+    def with_overrides(self, overrides: dict) -> "ExperimentConfig":
+        return _replace_from_dict(self, overrides)
+
+
+def tiny_model_config(
+    *,
+    text_hidden: int = 32,
+    audio_hidden: int = 48,
+    projection_dim: int = 24,
+    num_layers: int = 2,
+    vocab_size: int = 128,
+    use_word_alignment: bool = True,
+) -> ModelConfig:
+    """Small geometry for tests / CPU smoke runs."""
+    return ModelConfig(
+        text=TextEncoderConfig(
+            vocab_size=vocab_size, hidden_size=text_hidden, num_layers=num_layers,
+            num_heads=4, intermediate_size=text_hidden * 4,
+            max_position_embeddings=96, hidden_dropout=0.0, attention_dropout=0.0,
+        ),
+        audio=AudioEncoderConfig(
+            feature_dim=16, hidden_size=audio_hidden, num_layers=num_layers,
+            num_heads=4, intermediate_size=audio_hidden * 4, conv_kernel_size=7,
+            left_max_rel_pos=8, right_max_rel_pos=2, conv_dropout=0.0,
+        ),
+        frontend=FrontendConfig(num_mel_bins=8, stride=2),
+        heads=HeadsConfig(
+            projection_dim=projection_dim, dropout=0.0,
+            cross_modal_heads=4, alignment_heads=2,
+            use_word_alignment=use_word_alignment,
+        ),
+        dtype="float32",
+        remat=False,
+    )
+
+
+def parse_overrides(argv: list) -> dict:
+    """Parse ``a.b.c=value`` CLI override strings into a nested dict.
+
+    Values are parsed as JSON when possible, else kept as strings, so
+    ``train.num_epochs=30``, ``loss.kind=global`` and ``data.audio_buckets=[48000]``
+    all work.
+    """
+    out: dict = {}
+    for item in argv:
+        if "=" not in item:
+            raise ValueError(f"Override {item!r} is not of the form key=value")
+        key, _, raw = item.partition("=")
+        try:
+            value: Any = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out
