@@ -1,0 +1,180 @@
+"""w2v-bert-2.0-style conformer speech encoder in Flax.
+
+The reference loads ``facebook/w2v-bert-2.0`` via ``AutoModel.from_pretrained``
+(model.py:152, trainer_unfreeze.py:343). This module implements the same
+architecture natively in JAX (transformers' Wav2Vec2BertModel semantics, studied for
+behavior only):
+
+  * feature projection: LayerNorm(160) → Dense(→H) → dropout,
+  * 24 conformer blocks, each: half-step macaron FFN₁ → self-attention with
+    relative_key position bias (learned distance embedding, distances clamped to
+    [-left_max, right_max]) → convolution module (LayerNorm → masked fill →
+    pointwise conv ×2 + GLU → causal depthwise conv → LayerNorm → swish →
+    pointwise conv) → half-step FFN₂ → final LayerNorm,
+  * padded positions are zeroed before the block stack and masked additively in
+    attention.
+
+TPU-first choices: the depthwise convolution is expressed as a feature-group-count
+``lax.conv_general_dilated`` (maps to the VPU/MXU, static left padding instead of a
+separate pad op), relative-position bias is one einsum against a ``[Tq, Tk, hd]``
+gathered table, softmax in f32, bf16 elsewhere when configured, optional remat per
+block.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from speech_transcript_embeddings_tpu.config import AudioEncoderConfig
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class AudioFeedForward(nn.Module):
+    cfg: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        c = self.cfg
+        x = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        x = swish(x)
+        x = nn.Dropout(c.activation_dropout, deterministic=deterministic)(x)
+        x = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(x)
+        return nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+
+
+class RelPositionAttention(nn.Module):
+    """Self-attention with Shaw-style relative_key position bias.
+
+    scores = (q·kᵀ + q·E[clamp(j-i)]ᵀ) / sqrt(head_dim), where E is a learned
+    embedding over distances in [-left_max, right_max].
+    """
+
+    cfg: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array], *,
+                 deterministic: bool = True):
+        c = self.cfg
+        h, nh, hd = c.hidden_size, c.num_heads, c.head_dim
+        t = x.shape[1]
+
+        def split(v):
+            return v.reshape(*v.shape[:-1], nh, hd)
+
+        q = split(nn.Dense(h, dtype=self.dtype, name="query")(x))
+        k = split(nn.Dense(h, dtype=self.dtype, name="key")(x))
+        v = split(nn.Dense(h, dtype=self.dtype, name="value")(x))
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+
+        num_pos = c.left_max_rel_pos + c.right_max_rel_pos + 1
+        dist_emb = self.param(
+            "distance_embedding", nn.initializers.normal(0.02), (num_pos, hd),
+            jnp.float32)
+        pos = jnp.arange(t)
+        distance = jnp.clip(pos[None, :] - pos[:, None],
+                            -c.left_max_rel_pos, c.right_max_rel_pos)
+        rel = dist_emb[distance + c.left_max_rel_pos].astype(q.dtype)  # [Tq, Tk, hd]
+        scores = scores + jnp.einsum("bqhd,qkd->bhqk", q, rel)
+        scores = scores / (hd ** 0.5)
+
+        if mask is not None:
+            scores = scores + (1.0 - mask[:, None, None, :].astype(scores.dtype)) * NEG_INF
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = nn.Dropout(c.attention_dropout, deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(x.shape)
+        return nn.Dense(h, dtype=self.dtype, name="out")(out)
+
+
+class ConvModule(nn.Module):
+    """Conformer convolution block with causal depthwise conv."""
+
+    cfg: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array], *,
+                 deterministic: bool = True):
+        c = self.cfg
+        h = c.hidden_size
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="norm")(x)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        # pointwise conv1 (no bias) + GLU over the channel split
+        x = nn.Dense(2 * h, use_bias=False, dtype=self.dtype, name="pointwise1")(x)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)
+        # causal depthwise conv: left-pad kernel-1, feature_group_count = channels
+        kernel = self.param(
+            "depthwise_kernel", nn.initializers.lecun_normal(),
+            (c.conv_kernel_size, 1, h), jnp.float32)
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1,), padding=[(c.conv_kernel_size - 1, 0)],
+            dimension_numbers=("NTC", "TIO", "NTC"), feature_group_count=h)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="depthwise_norm")(x)
+        x = swish(x)
+        x = nn.Dense(h, use_bias=False, dtype=self.dtype, name="pointwise2")(x)
+        return nn.Dropout(c.conv_dropout, deterministic=deterministic)(x)
+
+
+class ConformerBlock(nn.Module):
+    cfg: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array],
+                 deterministic: bool = True):
+        c = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                                       name=name)
+        x = x + 0.5 * AudioFeedForward(c, self.dtype, name="ffn1")(
+            ln("ffn1_norm")(x), deterministic=deterministic)
+        attn = RelPositionAttention(c, self.dtype, name="attention")(
+            ln("attention_norm")(x), mask, deterministic=deterministic)
+        x = x + nn.Dropout(c.attention_dropout,
+                           deterministic=deterministic)(attn)
+        x = x + ConvModule(c, self.dtype, name="conv")(
+            x, mask, deterministic=deterministic)
+        x = x + 0.5 * AudioFeedForward(c, self.dtype, name="ffn2")(
+            ln("ffn2_norm")(x), deterministic=deterministic)
+        return ln("final_norm")(x)
+
+
+class AudioEncoder(nn.Module):
+    """Stacked log-mel features ``[B, T, feature_dim]`` → hidden states ``[B, T, H]``."""
+
+    cfg: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, features: jax.Array,
+                 attention_mask: Optional[jax.Array] = None, *,
+                 deterministic: bool = True) -> jax.Array:
+        c = self.cfg
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="feature_norm")(features)
+        x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)
+        x = nn.Dropout(c.feat_proj_dropout, deterministic=deterministic)(x)
+        if attention_mask is not None:
+            x = x * attention_mask[..., None].astype(x.dtype)
+        x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+        block_cls = (nn.remat(ConformerBlock, static_argnums=(3,))
+                     if self.remat else ConformerBlock)
+        for i in range(c.num_layers):
+            x = block_cls(c, self.dtype, name=f"layer_{i}")(
+                x, attention_mask, deterministic)
+        return x

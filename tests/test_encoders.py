@@ -1,0 +1,114 @@
+"""Encoder parity: our native Flax encoders + converter vs tiny random HF torch models.
+
+The HF models are constructed locally from small random configs (no network) and act
+purely as numerical oracles for the architectures the reference uses via
+``AutoModel.from_pretrained`` (reference model.py:150-152).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax
+import jax.numpy as jnp
+
+from speech_transcript_embeddings_tpu.models import convert
+from speech_transcript_embeddings_tpu.models.audio_encoder import AudioEncoder
+from speech_transcript_embeddings_tpu.models.text_encoder import TextEncoder
+
+
+def _np_state_dict(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def text_pair():
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+    torch.manual_seed(0)
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=48, type_vocab_size=1,
+        pad_token_id=1, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    hf = XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = convert.text_config_from_hf(hf_cfg)
+    params = convert.convert_text_encoder(_np_state_dict(hf), cfg)
+    return hf, cfg, params
+
+
+@pytest.fixture(scope="module")
+def audio_pair():
+    from transformers import Wav2Vec2BertConfig, Wav2Vec2BertModel
+    torch.manual_seed(1)
+    hf_cfg = Wav2Vec2BertConfig(
+        feature_projection_input_dim=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, conv_depthwise_kernel_size=7,
+        left_max_position_embeddings=8, right_max_position_embeddings=2,
+        hidden_dropout=0.0, attention_dropout=0.0, conformer_conv_dropout=0.0,
+        activation_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+        mask_time_prob=0.0, mask_feature_prob=0.0, apply_spec_augment=False,
+    )
+    hf = Wav2Vec2BertModel(hf_cfg).eval()
+    cfg = convert.audio_config_from_hf(hf_cfg)
+    params = convert.convert_audio_encoder(_np_state_dict(hf), cfg)
+    return hf, cfg, params
+
+
+def test_text_encoder_parity(text_pair):
+    hf, cfg, params = text_pair
+    rng = np.random.default_rng(2)
+    b, t = 3, 12
+    ids = rng.integers(2, 120, size=(b, t))
+    lengths = [12, 7, 5]
+    mask = np.zeros((b, t), np.int32)
+    for i, n in enumerate(lengths):
+        mask[i, :n] = 1
+        ids[i, n:] = 1  # pad token
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+
+    enc = TextEncoder(cfg)
+    got = enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    got = np.asarray(got)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], ref[valid], rtol=1e-3, atol=3e-4)
+
+
+def test_audio_encoder_parity(audio_pair):
+    hf, cfg, params = audio_pair
+    rng = np.random.default_rng(3)
+    b, t, f = 2, 20, 16
+    feats = rng.normal(size=(b, t, f)).astype(np.float32)
+    mask = np.zeros((b, t), np.int32)
+    mask[0, :20] = 1
+    mask[1, :13] = 1
+
+    with torch.no_grad():
+        ref = hf(input_features=torch.tensor(feats),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+
+    enc = AudioEncoder(cfg)
+    got = np.asarray(enc.apply({"params": params}, jnp.asarray(feats), jnp.asarray(mask)))
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], ref[valid], rtol=1e-3, atol=3e-4)
+
+
+def test_audio_encoder_no_mask(audio_pair):
+    hf, cfg, params = audio_pair
+    rng = np.random.default_rng(4)
+    feats = rng.normal(size=(1, 9, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(input_features=torch.tensor(feats)).last_hidden_state.numpy()
+    enc = AudioEncoder(cfg)
+    got = np.asarray(enc.apply({"params": params}, jnp.asarray(feats)))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=3e-4)
+
+
+def test_text_position_ids_roberta_offset(text_pair):
+    """Padding rows must not advance position ids (RoBERTa offset scheme)."""
+    from speech_transcript_embeddings_tpu.models.text_encoder import roberta_position_ids
+    ids = jnp.asarray([[5, 6, 7, 1, 1]])
+    got = np.asarray(roberta_position_ids(ids, 1))
+    np.testing.assert_array_equal(got, [[2, 3, 4, 1, 1]])
