@@ -1,0 +1,143 @@
+"""Host-side input pipeline: corruption → tokenisation → static-shape bucketing.
+
+Replaces the reference's DataLoader stack (12 worker processes doing per-item
+featurisation — trainer_unfreeze.py:1425-1453) with a lean host pipeline that only
+tokenises and pads: **audio featurisation runs on the TPU** inside the jitted step
+(see ops/frontend.py), so the host just ships raw waveforms.
+
+TPU-first: every batch has one of a small, fixed set of shapes — audio is padded to
+a length *bucket* (DataConfig.audio_buckets) and text to ``max_text_length`` — so
+XLA compiles each bucket once (the reference's vestigial ``--bucket`` flag,
+implemented for real; SURVEY.md §5.7). Eval tails are padded with dummy rows and
+carry an ``example_mask`` so metrics stay exact.
+
+Per-epoch corruption re-randomisation matches the reference's stochastic
+``__getitem__`` (trainer_unfreeze.py:832-837) but is fully seeded: epoch ``e`` of
+split ``s`` always produces the same corruptions for a given seed.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from speech_transcript_embeddings_tpu.config import DataConfig
+from speech_transcript_embeddings_tpu.data.corruption import create_corrupted_transcript
+from speech_transcript_embeddings_tpu.data.sources import Example
+from speech_transcript_embeddings_tpu.data.tokenizers import Tokenizer
+
+Batch = Dict[str, np.ndarray]
+
+
+class DataPipeline:
+    def __init__(self, cfg: DataConfig, tokenizer: Tokenizer, seed: int = 42):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.seed = seed
+        self.buckets = sorted(cfg.audio_buckets)
+
+    # ------------------------------------------------------------------ utils
+
+    def _bucket_for(self, n_samples: int) -> int:
+        i = bisect.bisect_left(self.buckets, n_samples)
+        return self.buckets[min(i, len(self.buckets) - 1)]
+
+    def _encode_example(self, ex: Example, rng: np.random.Generator,
+                        corruption_probability: float) -> dict:
+        audio = ex.audio
+        if len(audio) > self.cfg.max_audio_samples:
+            audio = audio[: self.cfg.max_audio_samples]
+        peak = np.abs(audio).max() if len(audio) else 0.0
+        if peak > 1.0:
+            audio = audio / peak
+        corrupt = create_corrupted_transcript(ex.sentence, rng,
+                                              corruption_probability)
+        ids_pos, mask_pos = self.tokenizer.encode(ex.sentence,
+                                                  self.cfg.max_text_length)
+        ids_neg, mask_neg = self.tokenizer.encode(corrupt,
+                                                  self.cfg.max_text_length)
+        return {
+            "audio": audio.astype(np.float32),
+            "ids_pos": ids_pos, "mask_pos": mask_pos,
+            "ids_neg": ids_neg, "mask_neg": mask_neg,
+        }
+
+    def _emit(self, items: List[dict], bucket_len: int,
+              pad_to_full: bool) -> Optional[Batch]:
+        b = self.cfg.batch_size
+        n_real = len(items)
+        if n_real == 0:
+            return None
+        if n_real < b:
+            if not pad_to_full:
+                return None
+            items = items + [items[0]] * (b - n_real)
+        waveform = np.zeros((b, bucket_len), np.float32)
+        num_samples = np.zeros(b, np.int32)
+        for i, it in enumerate(items):
+            n = min(len(it["audio"]), bucket_len)
+            waveform[i, :n] = it["audio"][:n]
+            num_samples[i] = n
+        batch = {
+            "waveform": waveform,
+            "num_samples": num_samples,
+            "input_ids_pos": np.stack([it["ids_pos"] for it in items]),
+            "attention_mask_pos": np.stack([it["mask_pos"] for it in items]),
+            "input_ids_neg": np.stack([it["ids_neg"] for it in items]),
+            "attention_mask_neg": np.stack([it["mask_neg"] for it in items]),
+            "example_mask": (np.arange(b) < n_real).astype(np.float32),
+        }
+        return batch
+
+    # ------------------------------------------------------------------ epochs
+
+    def epoch_batches(self, source, split: str, epoch: int,
+                      corruption_probability: Optional[float] = None,
+                      shuffle: Optional[bool] = None,
+                      drop_last: Optional[bool] = None) -> Iterator[Batch]:
+        """Yield fixed-shape batches for one epoch.
+
+        Train defaults: shuffle=True, drop_last=True (reference
+        trainer_unfreeze.py:1425-1433); eval: ordered, tail padded + masked.
+        """
+        is_train = split == "train"
+        shuffle = is_train if shuffle is None else shuffle
+        drop_last = is_train if drop_last is None else drop_last
+        prob = (self.cfg.corruption_probability
+                if corruption_probability is None else corruption_probability)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch,
+                                    {"train": 0, "validation": 1, "test": 2}[split]]))
+
+        examples = source.examples(split)
+        if shuffle:
+            examples = _shuffled(examples, rng, buffer_size=4096)
+
+        pending: Dict[int, List[dict]] = {blen: [] for blen in self.buckets}
+        for ex in examples:
+            item = self._encode_example(ex, rng, prob)
+            blen = self._bucket_for(len(item["audio"]))
+            pending[blen].append(item)
+            if len(pending[blen]) == self.cfg.batch_size:
+                yield self._emit(pending[blen], blen, pad_to_full=False) or {}
+                pending[blen] = []
+        if not drop_last:
+            for blen, items in pending.items():
+                batch = self._emit(items, blen, pad_to_full=True)
+                if batch is not None:
+                    yield batch
+
+
+def _shuffled(iterator, rng: np.random.Generator, buffer_size: int):
+    """Streaming shuffle with a bounded reservoir buffer."""
+    buf = []
+    for item in iterator:
+        buf.append(item)
+        if len(buf) >= buffer_size:
+            idx = int(rng.integers(len(buf)))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf

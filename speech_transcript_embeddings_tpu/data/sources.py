@@ -1,0 +1,173 @@
+"""Dataset sources: Common Voice (HF hub), local directory, and synthetic.
+
+A source yields ``Example(sentence, audio, sampling_rate)`` rows per split. The
+reference streams ``mozilla-foundation/common_voice_17_0`` config ``pt`` from the
+hub and casts audio to 16 kHz (trainer_unfreeze.py:1923-1927); that path is kept
+(gated on hub availability) while tests and offline benches use the synthetic
+source.
+
+The synthetic source generates speech-like audio with a *learnable* audio↔text
+correspondence: every word deterministically maps to a short dual-tone chirp, and a
+sentence is the concatenation of its words' chirps plus noise. A model must
+therefore align tone content with token identities to separate clean from corrupted
+transcripts — which gives end-to-end smoke tests a real training signal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from speech_transcript_embeddings_tpu.config import DataConfig
+
+
+@dataclasses.dataclass
+class Example:
+    sentence: str
+    audio: np.ndarray        # float32 waveform in [-1, 1]
+    sampling_rate: int
+
+
+_PSEUDO_WORDS = (
+    "casa tempo dia vida ano olhos cidade mundo noite terra parte homem mulher "
+    "coisa momento agua luz caminho palavra historia trabalho musica porta mar "
+    "sol amigo familia livro cor flor vento chuva pedra rio campo estrela fogo "
+    "sonho viagem festa jogo escola carta nome ideia arte paz amor"
+).split()
+
+
+def _word_tones(word: str, num_tones: int = 2) -> List[float]:
+    h = hashlib.sha1(word.lower().encode()).digest()
+    return [200.0 + (int.from_bytes(h[4 * i: 4 * i + 4], "little") % 3000)
+            for i in range(num_tones)]
+
+
+def synth_audio_for_sentence(sentence: str, sampling_rate: int = 16000,
+                             seconds_per_word: float = 0.35,
+                             noise: float = 0.05,
+                             seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    pieces = []
+    n_word = int(seconds_per_word * sampling_rate)
+    t = np.arange(n_word) / sampling_rate
+    env = np.hanning(n_word)
+    for word in sentence.split():
+        f1, f2 = _word_tones(word)
+        tone = 0.45 * np.sin(2 * np.pi * f1 * t) + 0.35 * np.sin(2 * np.pi * f2 * t)
+        pieces.append((tone * env).astype(np.float32))
+    if not pieces:
+        pieces = [np.zeros(n_word, np.float32)]
+    audio = np.concatenate(pieces)
+    audio = audio + rng.normal(scale=noise, size=audio.shape).astype(np.float32)
+    peak = np.abs(audio).max()
+    if peak > 1.0:
+        audio = audio / peak
+    return audio.astype(np.float32)
+
+
+class SyntheticSource:
+    """Deterministic synthetic speech/transcript pairs (per split)."""
+
+    def __init__(self, cfg: DataConfig, seed: int = 1234):
+        self.cfg = cfg
+        self.seed = seed
+
+    def num_examples(self, split: str) -> int:
+        n = self.cfg.num_synthetic_samples
+        return {"train": n, "validation": max(n // 4, 1), "test": max(n // 4, 1)}[split]
+
+    def examples(self, split: str) -> Iterator[Example]:
+        split_salt = {"train": 0, "validation": 1, "test": 2}[split]
+        rng = np.random.default_rng(self.seed + 1000 * split_salt)
+        for i in range(self.num_examples(split)):
+            n_words = int(rng.integers(2, 9))
+            words = [_PSEUDO_WORDS[rng.integers(len(_PSEUDO_WORDS))]
+                     for _ in range(n_words)]
+            sentence = " ".join(words)
+            audio = synth_audio_for_sentence(
+                sentence, seed=int(rng.integers(2 ** 31)))
+            yield Example(sentence, audio, 16000)
+
+
+class CommonVoiceSource:
+    """Mozilla Common Voice via HF datasets (requires hub access + acceptance).
+
+    Mirrors the reference's loading path (trainer_unfreeze.py:1923-1927).
+    """
+
+    def __init__(self, cfg: DataConfig):
+        self.cfg = cfg
+        from datasets import Audio, load_dataset  # lazy: needs network/cache
+        self._ds = load_dataset("mozilla-foundation/common_voice_17_0",
+                                cfg.dataset_config, token=True)
+        self._ds = self._ds.cast_column("audio", Audio(sampling_rate=16000))
+
+    def num_examples(self, split: str) -> int:
+        return len(self._ds[split])
+
+    def examples(self, split: str) -> Iterator[Example]:
+        for row in self._ds[split]:
+            yield Example(row["sentence"],
+                          np.asarray(row["audio"]["array"], np.float32), 16000)
+
+
+class LocalSource:
+    """Local dataset: ``<data_dir>/<split>.tsv`` with ``path\tsentence`` rows and
+    16 kHz mono WAV files (decoded with scipy — no librosa/ffmpeg dependency)."""
+
+    def __init__(self, cfg: DataConfig):
+        import os
+        self.cfg = cfg
+        self.root = cfg.data_dir or "."
+        self._rows = {}
+        for split in ("train", "validation", "test"):
+            path = os.path.join(self.root, f"{split}.tsv")
+            rows = []
+            if os.path.exists(path):
+                with open(path) as f:
+                    for line in f:
+                        p, _, sent = line.rstrip("\n").partition("\t")
+                        if p:
+                            rows.append((p, sent))
+            self._rows[split] = rows
+
+    def num_examples(self, split: str) -> int:
+        return len(self._rows[split])
+
+    def examples(self, split: str) -> Iterator[Example]:
+        import os
+        from scipy.io import wavfile
+        for rel, sentence in self._rows[split]:
+            sr, wav = wavfile.read(os.path.join(self.root, rel))
+            if wav.dtype.kind == "i":
+                wav = wav.astype(np.float32) / np.iinfo(wav.dtype).max
+            elif wav.dtype.kind == "u":
+                wav = (wav.astype(np.float32) - 128.0) / 128.0
+            else:
+                wav = wav.astype(np.float32)
+            if wav.ndim == 2:
+                wav = wav[:, 0]
+            if sr != 16000:
+                wav = _resample_linear(wav, sr, 16000)
+            yield Example(sentence, wav, 16000)
+
+
+def _resample_linear(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resampling via scipy (good quality, no librosa dependency)."""
+    from math import gcd
+    from scipy.signal import resample_poly
+    g = gcd(sr_in, sr_out)
+    return resample_poly(wav, sr_out // g, sr_in // g).astype(np.float32)
+
+
+def make_source(cfg: DataConfig, seed: int = 1234):
+    if cfg.dataset == "synthetic":
+        return SyntheticSource(cfg, seed=seed)
+    if cfg.dataset == "common_voice":
+        return CommonVoiceSource(cfg)
+    if cfg.dataset == "local":
+        return LocalSource(cfg)
+    raise ValueError(f"Unknown dataset {cfg.dataset!r}")

@@ -1,0 +1,69 @@
+"""Text tokenisation for the pipeline.
+
+Production path wraps a HuggingFace tokenizer (the reference tokenises with
+``AutoTokenizer`` from the text model — trainer_unfreeze.py:840-853, RoBERTa-style
+specials and ``max_length`` padding). For offline / synthetic runs and tests a small
+deterministic word tokenizer provides the same interface and special-token layout
+(bos 0, pad 1, eos 2, unk 3 — the XLM-R convention).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Protocol, Tuple
+
+import numpy as np
+
+
+class Tokenizer(Protocol):
+    pad_token_id: int
+
+    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (input_ids [max_length] int32, attention_mask [max_length] int32)."""
+        ...
+
+
+class SimpleWordTokenizer:
+    """Deterministic hash-based word tokenizer (offline stand-in).
+
+    Stable across processes (hashlib, not ``hash``). Words map into
+    [num_special, vocab_size); collisions are acceptable for synthetic data.
+    """
+
+    bos_token_id = 0
+    pad_token_id = 1
+    eos_token_id = 2
+    unk_token_id = 3
+    num_special = 4
+
+    def __init__(self, vocab_size: int = 1024):
+        self.vocab_size = vocab_size
+
+    def _word_id(self, word: str) -> int:
+        h = int.from_bytes(hashlib.sha1(word.lower().encode()).digest()[:4], "little")
+        return self.num_special + h % (self.vocab_size - self.num_special)
+
+    def encode(self, text: str, max_length: int):
+        ids = [self.bos_token_id]
+        ids += [self._word_id(w) for w in text.split()][: max_length - 2]
+        ids.append(self.eos_token_id)
+        out = np.full(max_length, self.pad_token_id, np.int32)
+        mask = np.zeros(max_length, np.int32)
+        out[: len(ids)] = ids
+        mask[: len(ids)] = 1
+        return out, mask
+
+
+class HFTokenizer:
+    """Wraps a HuggingFace fast tokenizer (padding='max_length', truncation)."""
+
+    def __init__(self, name_or_path: str):
+        from transformers import AutoTokenizer
+        self._tok = AutoTokenizer.from_pretrained(name_or_path)
+        self.pad_token_id = self._tok.pad_token_id
+
+    def encode(self, text: str, max_length: int):
+        enc = self._tok(text, max_length=max_length, padding="max_length",
+                        truncation=True, return_tensors="np")
+        return (enc["input_ids"][0].astype(np.int32),
+                enc["attention_mask"][0].astype(np.int32))

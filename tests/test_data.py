@@ -1,0 +1,105 @@
+"""Data layer tests: corruption semantics, tokenizers, bucketing pipeline."""
+
+import numpy as np
+import pytest
+
+from speech_transcript_embeddings_tpu.config import DataConfig
+from speech_transcript_embeddings_tpu.data import corruption
+from speech_transcript_embeddings_tpu.data.pipeline import DataPipeline
+from speech_transcript_embeddings_tpu.data.sources import (
+    SyntheticSource, synth_audio_for_sentence,
+)
+from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer
+
+
+def test_corruption_deterministic_and_different():
+    text = "hoje o tempo está muito bom na cidade"
+    a = corruption.create_corrupted_transcript(text, np.random.default_rng(7))
+    b = corruption.create_corrupted_transcript(text, np.random.default_rng(7))
+    assert a == b
+    outs = {corruption.create_corrupted_transcript(text, np.random.default_rng(i))
+            for i in range(32)}
+    assert len(outs) > 5               # strategies actually vary
+    assert any(o != text for o in outs)
+
+
+def test_corruption_short_text_unchanged():
+    rng = np.random.default_rng(0)
+    assert corruption.create_corrupted_transcript("ola", rng) == "ola"
+
+
+def test_corruption_probability_honoured():
+    text = "um dois tres quatro cinco"
+    rng = np.random.default_rng(5)
+    outs = [corruption.create_corrupted_transcript(text, rng, probability=0.2)
+            for _ in range(300)]
+    frac = np.mean([o != text for o in outs])
+    # strategies can no-op occasionally (e.g. shuffle of identical words), so
+    # corrupted fraction ≤ 0.2 but well above 0
+    assert 0.05 < frac <= 0.25
+
+
+def test_simple_tokenizer_layout():
+    tok = SimpleWordTokenizer(vocab_size=256)
+    ids, mask = tok.encode("casa tempo dia", 8)
+    assert ids[0] == tok.bos_token_id
+    assert ids[4] == tok.eos_token_id
+    assert list(ids[5:]) == [tok.pad_token_id] * 3
+    assert list(mask) == [1] * 5 + [0] * 3
+    ids2, _ = tok.encode("casa tempo dia", 8)
+    np.testing.assert_array_equal(ids, ids2)
+
+
+def test_synth_audio_reflects_words():
+    a1 = synth_audio_for_sentence("casa tempo", seed=0)
+    a2 = synth_audio_for_sentence("casa tempo", seed=0)
+    np.testing.assert_array_equal(a1, a2)
+    a3 = synth_audio_for_sentence("casa casa", seed=0)
+    assert a1.shape == a3.shape and not np.allclose(a1, a3)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DataConfig(
+        dataset="synthetic", batch_size=4, max_text_length=16,
+        audio_buckets=(16000, 32000, 48000), max_audio_samples=48000,
+        num_synthetic_samples=32,
+    )
+
+
+def test_pipeline_shapes_and_determinism(cfg):
+    src = SyntheticSource(cfg, seed=9)
+    pipe = DataPipeline(cfg, SimpleWordTokenizer(), seed=42)
+    batches = list(pipe.epoch_batches(src, "train", epoch=1))
+    assert batches
+    for b in batches:
+        bsz, blen = b["waveform"].shape
+        assert bsz == 4 and blen in cfg.audio_buckets
+        assert b["input_ids_pos"].shape == (4, 16)
+        assert b["example_mask"].sum() == 4          # train: full batches only
+        assert (b["num_samples"] <= blen).all()
+
+    again = list(pipe.epoch_batches(src, "train", epoch=1))
+    np.testing.assert_array_equal(batches[0]["waveform"], again[0]["waveform"])
+    np.testing.assert_array_equal(batches[0]["input_ids_neg"],
+                                  again[0]["input_ids_neg"])
+
+    other_epoch = list(pipe.epoch_batches(src, "train", epoch=2))
+    assert not np.array_equal(batches[0]["input_ids_pos"],
+                              other_epoch[0]["input_ids_pos"])
+
+
+def test_pipeline_eval_covers_all_examples(cfg):
+    src = SyntheticSource(cfg, seed=9)
+    pipe = DataPipeline(cfg, SimpleWordTokenizer(), seed=42)
+    batches = list(pipe.epoch_batches(src, "validation", epoch=0))
+    total = sum(int(b["example_mask"].sum()) for b in batches)
+    assert total == src.num_examples("validation")
+
+
+def test_pipeline_negatives_differ_from_positives(cfg):
+    src = SyntheticSource(cfg, seed=9)
+    pipe = DataPipeline(cfg, SimpleWordTokenizer(), seed=42)
+    b = next(iter(pipe.epoch_batches(src, "train", epoch=0)))
+    diffs = (b["input_ids_pos"] != b["input_ids_neg"]).any(axis=1)
+    assert diffs.mean() >= 0.5
