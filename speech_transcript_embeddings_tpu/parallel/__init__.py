@@ -1,0 +1,5 @@
+from speech_transcript_embeddings_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)

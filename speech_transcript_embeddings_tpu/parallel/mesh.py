@@ -1,0 +1,89 @@
+"""Device mesh and sharding rules.
+
+The reference is single-GPU (``CUDA_VISIBLE_DEVICES=0``, trainer_unfreeze.py:12)
+with no distributed layer at all (SURVEY.md §2); this module is the TPU-native
+replacement: a 2-axis ``Mesh`` — ``data`` for batch parallelism over ICI (with
+in-batch negatives all-gathered by XLA when the global InfoNCE loss is enabled) and
+``model`` for tensor parallelism of the encoder matmuls.
+
+Sharding is expressed as regex rules over flattened parameter paths →
+``PartitionSpec``; everything unmatched is replicated. Under ``jit`` these
+annotations steer GSPMD — correctness never depends on them.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from speech_transcript_embeddings_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig, devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    num_model = max(cfg.num_model, 1)
+    if n % num_model:
+        raise ValueError(f"{n} devices not divisible by model={num_model}")
+    num_data = cfg.num_data if cfg.num_data > 0 else n // num_model
+    if num_data * num_model != n:
+        devices = devices[: num_data * num_model]
+    arr = np.asarray(devices).reshape(num_data, num_model)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+# (path regex, spec builder given the model axis name)
+_RULES: List[Tuple[str, callable]] = [
+    # attention projections: shard heads (output dim) / recombine on out-proj
+    (r".*attention/(query|key|value)/kernel$",       lambda m: P(None, m)),
+    (r".*attention/(query|key|value)/bias$",         lambda m: P(m)),
+    (r".*attention/out/kernel$",                     lambda m: P(m, None)),
+    (r".*(attn_q|attn_k|attn_v)/kernel$",            lambda m: P(None, m)),
+    (r".*attn_out/kernel$",                          lambda m: P(m, None)),
+    # FFN / projection MLPs: expand → shard cols, contract → shard rows
+    (r".*(intermediate|dense_in)/kernel$",           lambda m: P(None, m)),
+    (r".*(intermediate|dense_in)/bias$",             lambda m: P(m)),
+    (r".*(output|dense_out)/kernel$",                lambda m: P(m, None)),
+    # conformer conv module
+    (r".*conv/pointwise1/kernel$",                   lambda m: P(None, m)),
+    (r".*conv/pointwise2/kernel$",                   lambda m: P(m, None)),
+    (r".*depthwise_kernel$",                         lambda m: P(None, None, m)),
+    # big embedding tables: shard the vocab dimension
+    (r".*word_embeddings/embedding$",                lambda m: P(m, None)),
+]
+
+
+def _spec_for(path: str, model_axis: str) -> P:
+    for pattern, build in _RULES:
+        if re.match(pattern, path):
+            return build(model_axis)
+    return P()
+
+
+def param_specs(params, model_axis: str = "model"):
+    """Pytree of PartitionSpec matching ``params``."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    specs = {k: _spec_for(k, model_axis) for k in flat}
+    return traverse_util.unflatten_dict(specs, sep="/")
+
+
+def param_shardings(mesh: Mesh, params, model_axis: str = "model"):
+    """Pytree of NamedSharding for placing ``params`` on ``mesh``."""
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        param_specs(params, model_axis),
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Batch arrays: shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_batch(mesh: Mesh, batch: dict, data_axis: str = "data") -> dict:
+    s = batch_sharding(mesh, data_axis)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}

@@ -1,0 +1,154 @@
+"""Jitted train / eval steps.
+
+One ``train_step`` call = host batch in → frontend (on device) → dual-encoder
+forward → contrastive loss → backward over the *trainable* split only → optax
+update (clip → discriminative-LR AdamW, optionally accumulated via MultiSteps).
+The whole chain is a single XLA program per audio bucket; under a mesh the batch
+is sharded on ``data`` and parameters per ``parallel/mesh.py`` rules, with XLA
+inserting the gradient psums and (for the global loss) the embedding all-gathers.
+
+Replaces the reference's per-batch Python loop work — H2D copies, autocast,
+GradScaler, clip, scheduler bookkeeping (trainer_unfreeze.py:1026-1162) — with
+compiled code; there is no GradScaler because bf16 on TPU needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from speech_transcript_embeddings_tpu.config import ExperimentConfig
+from speech_transcript_embeddings_tpu.models.dual_encoder import DualEncoderModel
+from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+from speech_transcript_embeddings_tpu.training import losses, optimizer as opt_lib
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array                      # optimizer micro-steps taken
+    trainable: Dict[str, jax.Array]      # flat path → param
+    frozen: Dict[str, jax.Array]
+    opt_state: optax.OptState
+
+
+def create_train_state(params, labels, tx) -> TrainState:
+    trainable, frozen = opt_lib.split_params(params, labels)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        frozen=frozen,
+        opt_state=tx.init(trainable),
+    )
+
+
+def model_batch_from_host(frontend: LogMelFrontend, batch: dict) -> dict:
+    """Run the on-device frontend and assemble the model's batch dict."""
+    features, audio_mask = frontend(batch["waveform"], batch["num_samples"])
+    return {
+        "input_ids_pos": batch["input_ids_pos"],
+        "attention_mask_pos": batch["attention_mask_pos"],
+        "input_ids_neg": batch["input_ids_neg"],
+        "attention_mask_neg": batch["attention_mask_neg"],
+        "input_features": features,
+        "attention_mask_audio": audio_mask,
+    }
+
+
+def _per_sample_eval_loss(cfg, aux: losses.LossAux, alignment_scores):
+    """Per-sample 2-way CE (+ alignment factor + corrupt penalty), for exact
+    masked eval metrics: CE over [s_pos, s_neg]/τ == softplus((s_neg-s_pos)/τ)."""
+    per = jax.nn.softplus((aux.s_neg - aux.s_pos) / cfg.temperature)
+    if alignment_scores is not None:
+        per = per * (1.0 - jax.nn.sigmoid(alignment_scores.mean(axis=1))
+                     * cfg.alignment_weight)
+    if cfg.corrupt_gamma > 0:
+        per = per + cfg.corrupt_gamma * jax.nn.relu(aux.s_neg)
+    return per
+
+
+def make_train_step(cfg: ExperimentConfig, model: DualEncoderModel,
+                    frontend: LogMelFrontend, tx):
+    """→ jitted (state, host_batch, rng) → (state, metrics)."""
+
+    def loss_fn(trainable, frozen, batch, rng):
+        params = opt_lib.merge_params(trainable, frozen)
+        mb = model_batch_from_host(frontend, batch)
+        out = model.apply({"params": params}, mb, deterministic=False,
+                          rngs={"dropout": rng})
+        loss, aux = losses.compute_loss(cfg.loss, out)
+        return loss, (aux, out.alignment_scores)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict, rng: jax.Array
+                   ) -> Tuple[TrainState, dict]:
+        (loss, (aux, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, state.frozen, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = state.replace(step=state.step + 1, trainable=trainable,
+                                  opt_state=opt_state)
+        t = cfg.loss.temperature
+        metrics = {
+            "loss": loss,
+            "clean_hr": losses.to_human_readable(aux.s_pos, t).mean(),
+            "corrupt_hr": losses.to_human_readable(aux.s_neg, t).mean(),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ExperimentConfig, model: DualEncoderModel,
+                   frontend: LogMelFrontend):
+    """→ jitted (params-like state, host_batch) → per-batch sums + raw cosines.
+
+    Always scores with the pairwise per-sample loss (the reference evaluates with
+    its training loss; for kind='global' this is the per-sample metric that stays
+    well-defined under masked eval tails).
+    """
+
+    @jax.jit
+    def eval_step(trainable, frozen, batch) -> dict:
+        params = opt_lib.merge_params(trainable, frozen)
+        mb = model_batch_from_host(frontend, batch)
+        out = model.apply({"params": params}, mb, deterministic=True)
+        aux = losses.LossAux(
+            s_pos=jnp.sum(out.audio * out.text_pos, -1),
+            s_neg=jnp.sum(out.audio * out.text_neg, -1))
+        per = _per_sample_eval_loss(cfg.loss, aux, out.alignment_scores)
+        m = batch["example_mask"]
+        t = cfg.loss.temperature
+        return {
+            "loss_sum": jnp.sum(per * m),
+            "clean_hr_sum": jnp.sum(losses.to_human_readable(aux.s_pos, t) * m),
+            "corrupt_hr_sum": jnp.sum(losses.to_human_readable(aux.s_neg, t) * m),
+            "count": jnp.sum(m),
+            "s_pos": aux.s_pos,
+            "s_neg": aux.s_neg,
+            "example_mask": m,
+        }
+
+    return eval_step
+
+
+def make_embed_step(model: DualEncoderModel, frontend: LogMelFrontend):
+    """→ jitted (trainable, frozen, batch) → normalised (text_emb, audio_emb)."""
+
+    @jax.jit
+    def embed_step(trainable, frozen, batch):
+        params = opt_lib.merge_params(trainable, frozen)
+        features, audio_mask = frontend(batch["waveform"], batch["num_samples"])
+        mb = {
+            "input_ids": batch["input_ids"],
+            "attention_mask": batch["attention_mask"],
+            "input_features": features,
+            "attention_mask_audio": audio_mask,
+        }
+        return model.apply({"params": params}, mb, deterministic=True)
+
+    return embed_step

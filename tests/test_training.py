@@ -1,0 +1,229 @@
+"""Freeze labels, schedule, and jitted train/eval step behavior (tiny model, CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from speech_transcript_embeddings_tpu.config import (
+    DataConfig, ExperimentConfig, FreezeConfig, LossConfig, OptimizerConfig,
+    TrainConfig, tiny_model_config,
+)
+from speech_transcript_embeddings_tpu.data.pipeline import DataPipeline
+from speech_transcript_embeddings_tpu.data.sources import SyntheticSource
+from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer
+from speech_transcript_embeddings_tpu.models.dual_encoder import (
+    DualEncoderModel, init_params,
+)
+from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
+from speech_transcript_embeddings_tpu.training.train_step import (
+    create_train_state, make_eval_step, make_train_step,
+)
+
+
+def tiny_experiment(**kw) -> ExperimentConfig:
+    model = tiny_model_config()
+    defaults = dict(
+        model=model,
+        freeze=FreezeConfig(mode="partial", text_layers_to_unfreeze=1,
+                            audio_layers_to_unfreeze=1),
+        loss=LossConfig(),
+        optimizer=OptimizerConfig(learning_rate=1e-3, warmup_steps=2),
+        data=DataConfig(dataset="synthetic", batch_size=4, max_text_length=12,
+                        audio_buckets=(16000, 48000), max_audio_samples=48000,
+                        num_synthetic_samples=16),
+        train=TrainConfig(num_epochs=1, accumulation_steps=1, seed=0),
+    )
+    defaults.update(kw)
+    return ExperimentConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_experiment()
+    model = DualEncoderModel(cfg.model)
+    params = init_params(model, jax.random.PRNGKey(0))
+    labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
+    # train_step donates its state, which deletes the donated param buffers —
+    # hand each test a fresh copy so the module-scoped tree stays alive
+    return cfg, model, lambda: jax.tree.map(jnp.array, params), labels
+
+
+def test_param_labels_partial(setup):
+    cfg, model, fresh, labels = setup
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(labels, sep="/")
+    assert flat["text_encoder/layer_0/attention/query/kernel"] == "frozen"
+    assert flat["text_encoder/layer_1/attention/query/kernel"] == "encoder"
+    assert flat["text_encoder/embeddings/word_embeddings/embedding"] == "encoder"
+    assert flat["audio_encoder/layer_0/ffn1/intermediate/kernel"] == "frozen"
+    assert flat["audio_encoder/layer_1/ffn1/intermediate/kernel"] == "encoder"
+    assert flat["audio_encoder/feature_projection/kernel"] == "encoder"
+    assert flat["text_projection/dense_in/kernel"] == "head"
+    assert flat["word_level_alignment/attn_q/kernel"] == "head"
+
+
+def test_param_labels_full_and_none(setup):
+    cfg, model, fresh, _ = setup
+    params = fresh()
+    from flax import traverse_util
+    full = traverse_util.flatten_dict(
+        opt_lib.param_labels(params, FreezeConfig(mode="full"), cfg.model), sep="/")
+    assert all(v == "frozen" for k, v in full.items()
+               if k.startswith(("text_encoder", "audio_encoder")))
+    assert all(v == "head" for k, v in full.items()
+               if not k.startswith(("text_encoder", "audio_encoder")))
+    none = traverse_util.flatten_dict(
+        opt_lib.param_labels(params, FreezeConfig(mode="none"), cfg.model), sep="/")
+    assert all(v != "frozen" for v in none.values())
+
+
+def test_linear_warmup_schedule():
+    cfg = OptimizerConfig(warmup_steps=10)
+    f = opt_lib.linear_warmup_schedule(cfg, total_steps=110)
+    np.testing.assert_allclose(float(f(0)), 0.0)
+    np.testing.assert_allclose(float(f(5)), 0.5)
+    np.testing.assert_allclose(float(f(10)), 1.0)
+    np.testing.assert_allclose(float(f(60)), 0.5)
+    np.testing.assert_allclose(float(f(110)), 0.0)
+    np.testing.assert_allclose(float(f(200)), 0.0)
+
+
+def _host_batches(cfg, n=6):
+    src = SyntheticSource(cfg.data, seed=3)
+    pipe = DataPipeline(cfg.data, SimpleWordTokenizer(vocab_size=128),
+                        seed=cfg.train.seed)
+    out = []
+    epoch = 0
+    while len(out) < n:
+        got = list(pipe.epoch_batches(src, "train", epoch=epoch))
+        out.extend(got)
+        epoch += 1
+    return out[:n]
+
+
+def test_train_step_learns_and_respects_freeze(setup):
+    cfg, model, fresh, labels = setup
+    params = fresh()
+    frontend = LogMelFrontend(cfg.model.frontend)
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze,
+                                opt_lib.split_params(labels, labels)[0],
+                                total_steps=50)
+    trainable_init, _ = opt_lib.split_params(params, labels)
+    trainable_init = jax.tree.map(lambda a: np.array(a), trainable_init)
+    state = create_train_state(params, labels, tx)
+    step = make_train_step(cfg, model, frontend, tx)
+
+    frozen_before = jax.tree.map(lambda a: np.array(a), state.frozen)
+    batches = _host_batches(cfg, n=2)
+    rng = jax.random.PRNGKey(1)
+    first_loss = None
+    for i in range(12):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batches[i % 2], sub)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    assert float(metrics["loss"]) < first_loss
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # frozen params untouched
+    for k, v in state.frozen.items():
+        np.testing.assert_array_equal(np.asarray(v), frozen_before[k])
+    # trainable params moved
+    moved = [not np.allclose(np.asarray(state.trainable[k]), trainable_init[k])
+             for k in state.trainable]
+    assert np.mean(moved) > 0.5
+
+
+def test_accumulation_applies_every_k(setup):
+    cfg, model, fresh, labels = setup
+    params = fresh()
+    frontend = LogMelFrontend(cfg.model.frontend)
+    trainable_labels = opt_lib.split_params(labels, labels)[0]
+    # warmup 0 so the very first applied optimizer step has a non-zero lr
+    tx = opt_lib.make_optimizer(OptimizerConfig(learning_rate=1e-3, warmup_steps=0),
+                                cfg.freeze, trainable_labels,
+                                total_steps=50, accumulation_steps=3)
+    state = create_train_state(params, labels, tx)
+    step = make_train_step(cfg, model, frontend, tx)
+    batches = _host_batches(cfg, n=3)
+    p0 = jax.tree.map(lambda a: np.array(a), state.trainable)
+    rng = jax.random.PRNGKey(2)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, batches[i], sub)
+        changed = any(not np.array_equal(np.asarray(state.trainable[k]), p0[k])
+                      for k in p0)
+        if i < 2:
+            assert not changed, f"params changed at micro-step {i}"
+    assert changed, "params did not change after k accumulation steps"
+
+
+def test_eval_step_masks_padding(setup):
+    cfg, model, fresh, labels = setup
+    params = fresh()
+    frontend = LogMelFrontend(cfg.model.frontend)
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze,
+                                opt_lib.split_params(labels, labels)[0], 50)
+    state = create_train_state(params, labels, tx)
+    eval_step = make_eval_step(cfg, model, frontend)
+    batch = _host_batches(cfg, n=1)[0]
+    # mask half the rows: sums must equal recomputing on the kept half
+    batch_masked = dict(batch)
+    batch_masked["example_mask"] = np.array([1, 1, 0, 0], np.float32)
+    out = eval_step(state.trainable, state.frozen, batch_masked)
+    assert float(out["count"]) == 2.0
+    full = eval_step(state.trainable, state.frozen, batch)
+    per_clean = np.asarray(
+        1 / (1 + np.exp(-np.asarray(full["s_pos"]) / cfg.loss.temperature)))
+    np.testing.assert_allclose(float(out["clean_hr_sum"]),
+                               per_clean[:2].sum(), rtol=1e-5)
+
+
+def test_data_parallel_step_matches_single_device(setup):
+    """Same batch, sharded over an 8-device data mesh vs one device: identical
+    loss and gradients (params are not compared post-AdamW because structurally
+    zero gradients — e.g. softmax-shift-invariant biases — get sign-normalised
+    from reduction noise)."""
+    from speech_transcript_embeddings_tpu.config import MeshConfig
+    from speech_transcript_embeddings_tpu.parallel import mesh as mesh_lib
+    from speech_transcript_embeddings_tpu.training import losses, optimizer
+    from speech_transcript_embeddings_tpu.training.train_step import (
+        model_batch_from_host,
+    )
+
+    cfg, model, fresh, labels = setup
+    frontend = LogMelFrontend(cfg.model.frontend)
+    data_cfg = cfg.data.__class__(
+        dataset="synthetic", batch_size=8, max_text_length=12,
+        audio_buckets=(16000,), max_audio_samples=16000, num_synthetic_samples=16)
+    cfg8 = tiny_experiment(data=data_cfg)
+    batch = _host_batches(cfg8, n=1)[0]
+
+    def loss_fn(trainable, frozen, b):
+        params = optimizer.merge_params(trainable, frozen)
+        mb = model_batch_from_host(frontend, b)
+        out = model.apply({"params": params}, mb, deterministic=True)
+        loss, _ = losses.compute_loss(cfg8.loss, out)
+        return loss
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    def run(params, on_mesh):
+        trainable, frozen = opt_lib.split_params(params, labels)
+        b = batch
+        if on_mesh:
+            m = mesh_lib.make_mesh(MeshConfig(num_model=1))
+            rep = jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec())
+            trainable = jax.device_put(trainable, jax.tree.map(lambda _: rep, trainable))
+            frozen = jax.device_put(frozen, jax.tree.map(lambda _: rep, frozen))
+            b = mesh_lib.shard_batch(m, batch)
+        loss, grads = grad_fn(trainable, frozen, b)
+        return float(loss), jax.tree.map(lambda a: np.array(a), grads)
+
+    loss1, g1 = run(fresh(), on_mesh=False)
+    loss8, g8 = run(fresh(), on_mesh=True)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(g8[k], g1[k], rtol=1e-3, atol=1e-6,
+                                   err_msg=k)
