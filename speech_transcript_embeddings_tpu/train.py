@@ -1,0 +1,56 @@
+"""Training CLI: ``python -m speech_transcript_embeddings_tpu.train [k=v ...]``.
+
+One typed config with dotted overrides replaces the reference's argparse + 385-line
+bash wrapper (training/run_embedding_trainer_unfreeze.sh). Examples:
+
+    # tiny synthetic smoke run on CPU/one chip
+    python -m speech_transcript_embeddings_tpu.train preset=tiny \
+        train.num_epochs=2 train.output_dir=./runs/smoke
+
+    # flagship geometry (w2v-bert-2.0 + mpnet) on Common Voice
+    python -m speech_transcript_embeddings_tpu.train \
+        data.dataset=common_voice freeze.text_layers_to_unfreeze=5 \
+        freeze.audio_layers_to_unfreeze=5 loss.kind=global
+"""
+
+from __future__ import annotations
+
+import sys
+
+from speech_transcript_embeddings_tpu import config as config_lib
+from speech_transcript_embeddings_tpu.training.loop import run_experiment
+
+
+def build_config(argv) -> config_lib.ExperimentConfig:
+    argv = list(argv)
+    preset = None
+    for item in list(argv):
+        if item.startswith("preset="):
+            preset = item.split("=", 1)[1]
+            argv.remove(item)
+    cfg = config_lib.ExperimentConfig()
+    if preset == "tiny":
+        cfg = config_lib.ExperimentConfig(
+            model=config_lib.tiny_model_config(),
+            data=config_lib.DataConfig(
+                dataset="synthetic", batch_size=8, max_text_length=16,
+                audio_buckets=(16000, 48000), max_audio_samples=48000,
+                num_synthetic_samples=64),
+            optimizer=config_lib.OptimizerConfig(
+                learning_rate=1e-3, warmup_steps=5),
+            train=config_lib.TrainConfig(num_epochs=2, accumulation_steps=1,
+                                         plot_every=1),
+        )
+    elif preset not in (None, "flagship"):
+        raise SystemExit(f"Unknown preset {preset!r} (use tiny|flagship)")
+    overrides = config_lib.parse_overrides(argv)
+    return cfg.with_overrides(overrides)
+
+
+def main(argv=None):
+    cfg = build_config(sys.argv[1:] if argv is None else argv)
+    run_experiment(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Orbax checkpointing with explicit JSON metadata.
+
+The reference saves raw ``torch.save`` dicts and *reconstructs model config by
+sniffing state-dict key patterns* at load time (inference.py:56-59); here every
+checkpoint directory carries a ``metadata.json`` with the full experiment config,
+epoch and metrics, so loading is self-describing (SURVEY.md §5.4). Four checkpoint
+kinds mirror the reference: ``best_model_loss``, ``best_model_gap``,
+``checkpoint_epoch_N``, ``final_model`` — plus ``latest`` for resume, which the
+reference lacked (optimizer state was saved but never loaded,
+trainer_unfreeze.py:267-268 note in SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from speech_transcript_embeddings_tpu.config import ExperimentConfig
+from speech_transcript_embeddings_tpu.training.train_step import TrainState
+
+FORMAT_VERSION = 1
+
+
+def _state_to_pytree(state: TrainState) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "trainable": dict(state.trainable),
+        "frozen": dict(state.frozen),
+        "opt_state": state.opt_state,
+    }
+
+
+def save_checkpoint(path: str, state: TrainState, cfg: ExperimentConfig,
+                    epoch: int, metrics: Optional[dict] = None) -> None:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    tmp = _state_to_pytree(state)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(os.path.join(path, "state"), tmp)
+    ckptr.wait_until_finished()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "epoch": epoch,
+        "metrics": _jsonable(metrics or {}),
+        "config": json.loads(cfg.to_json()),
+    }
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_metadata(path: str) -> dict:
+    with open(os.path.join(path, "metadata.json")) as f:
+        return json.load(f)
+
+
+def restore_checkpoint(path: str, abstract_state: TrainState) -> TrainState:
+    """Restore into the structure of ``abstract_state`` (from jax.eval_shape or a
+    freshly created state)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                          _state_to_pytree(abstract_state))
+    restored = ckptr.restore(os.path.join(path, "state"), target)
+    return TrainState(
+        step=restored["step"],
+        trainable=restored["trainable"],
+        frozen=restored["frozen"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "metadata.json"))
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, jax.Array):
+        return np.asarray(obj).item() if obj.size == 1 else np.asarray(obj).tolist()
+    return obj

@@ -1,0 +1,264 @@
+"""Experiment driver: epochs, evaluation, checkpoints, artifacts.
+
+The TPU-native counterpart of the reference's ``train_and_evaluate_model``
+orchestrator (trainer_unfreeze.py:1317-1840): per-epoch train → validate, best-loss
+/ best-gap / periodic / final checkpoints carrying full config metadata, progress
+plots, and a final test evaluation of both best checkpoints written to
+``test_metrics.json`` with the reference's schema.
+
+Deliberate fixes vs the reference (SURVEY.md §7):
+  * resume actually works (``latest`` checkpoint, restored with optimizer state),
+  * the histogram pass reuses validation cosines instead of re-running the val set
+    (reference traversed it twice — trainer_unfreeze.py:1687-1702),
+  * a missing best checkpoint at test time logs a warning but still evaluates the
+    other, never producing an empty ``test_metrics.json`` silently.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from speech_transcript_embeddings_tpu.config import ExperimentConfig
+from speech_transcript_embeddings_tpu.data.pipeline import DataPipeline
+from speech_transcript_embeddings_tpu.data.sources import make_source
+from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer
+from speech_transcript_embeddings_tpu.models.dual_encoder import (
+    DualEncoderModel,
+    init_params,
+)
+from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
+from speech_transcript_embeddings_tpu.training.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from speech_transcript_embeddings_tpu.utils import artifacts
+
+
+def default_tokenizer(cfg: ExperimentConfig):
+    if cfg.data.dataset == "common_voice":
+        from speech_transcript_embeddings_tpu.data.tokenizers import HFTokenizer
+        return HFTokenizer("sentence-transformers/paraphrase-multilingual-mpnet-base-v2")
+    return SimpleWordTokenizer(vocab_size=cfg.model.text.vocab_size)
+
+
+def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
+             logger) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
+    """→ (metrics dict, raw clean cosines, raw corrupt cosines)."""
+    loss_sum = clean_sum = corrupt_sum = count = 0.0
+    s_pos_all, s_neg_all = [], []
+    for batch in pipeline.epoch_batches(source, split, epoch):
+        out = eval_step(state.trainable, state.frozen, batch)
+        loss_sum += float(out["loss_sum"])
+        clean_sum += float(out["clean_hr_sum"])
+        corrupt_sum += float(out["corrupt_hr_sum"])
+        count += float(out["count"])
+        m = np.asarray(out["example_mask"]).astype(bool)
+        s_pos_all.append(np.asarray(out["s_pos"])[m])
+        s_neg_all.append(np.asarray(out["s_neg"])[m])
+    if count == 0:
+        logger.warning(f"No valid samples were processed during {split} evaluation")
+        zero = {k: 0.0 for k in ("loss", "avg_similarity", "median_similarity",
+                                 "std_similarity", "clean_similarity",
+                                 "corrupt_similarity", "similarity_gap")}
+        return zero, np.array([]), np.array([])
+    s_pos = np.concatenate(s_pos_all)
+    s_neg = np.concatenate(s_neg_all)
+    t = cfg.loss.temperature
+    clean_hr = 1.0 / (1.0 + np.exp(-s_pos / t))
+    corrupt_hr = 1.0 / (1.0 + np.exp(-s_neg / t))
+    metrics = artifacts.eval_metrics_dict(loss_sum / count, clean_hr, corrupt_hr)
+    logger.info(f"{split} metrics:")
+    logger.info(f"  Loss: {metrics['loss']:.4f}")
+    logger.info(f"  Average similarity: {metrics['avg_similarity']:.4f}")
+    logger.info(f"  Median similarity: {metrics['median_similarity']:.4f}")
+    logger.info(f"  Clean sample similarity: {metrics['clean_similarity']:.4f}")
+    logger.info(f"  Corrupted sample similarity: {metrics['corrupt_similarity']:.4f}")
+    logger.info(f"  Similarity gap (clean - corrupt): {metrics['similarity_gap']:.4f}")
+    return metrics, s_pos, s_neg
+
+
+def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
+                   logger=None) -> dict:
+    out_dir = cfg.train.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    logger = logger or artifacts.setup_run_logging(out_dir)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    source = source or make_source(cfg.data, seed=cfg.train.seed)
+    tokenizer = tokenizer or default_tokenizer(cfg)
+    pipeline = DataPipeline(cfg.data, tokenizer, seed=cfg.train.seed)
+
+    logger.info("Training with parameters:")
+    logger.info(f"  Freeze mode: {cfg.freeze.mode}")
+    logger.info(f"  Text layers to unfreeze: {cfg.freeze.text_layers_to_unfreeze}")
+    logger.info(f"  Audio layers to unfreeze: {cfg.freeze.audio_layers_to_unfreeze}")
+    logger.info(f"  Loss kind: {cfg.loss.kind}")
+    logger.info(f"  Batch size: {cfg.data.batch_size}")
+    logger.info(f"  Gradient accumulation steps: {cfg.train.accumulation_steps}")
+    logger.info(f"  Effective batch size: "
+                f"{cfg.data.batch_size * cfg.train.accumulation_steps}")
+    logger.info(f"  Learning rate: {cfg.optimizer.learning_rate}")
+    logger.info(f"  Temperature: {cfg.loss.temperature}")
+    logger.info(f"  Projection dimension: {cfg.model.heads.projection_dim}")
+    logger.info(f"  Training samples: {source.num_examples('train')}")
+    logger.info(f"  Validation samples: {source.num_examples('validation')}")
+    logger.info(f"  Test samples: {source.num_examples('test')}")
+
+    model = DualEncoderModel(cfg.model)
+    frontend = LogMelFrontend(cfg.model.frontend)
+    params = init_params(model, jax.random.PRNGKey(cfg.train.seed))
+    labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
+
+    n_param = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    trainable_flat, _ = opt_lib.split_params(params, labels)
+    n_train_param = sum(int(np.prod(p.shape)) for p in trainable_flat.values())
+    logger.info(f"Model initialized with {n_train_param:,} trainable parameters "
+                f"out of {n_param:,} total")
+
+    batches_per_epoch = max(
+        source.num_examples("train") // cfg.data.batch_size, 1)
+    steps_per_epoch = math.ceil(batches_per_epoch / cfg.train.accumulation_steps)
+    total_steps = steps_per_epoch * cfg.train.num_epochs
+    logger.info(f"Scheduler: ~{batches_per_epoch} batches/epoch, "
+                f"{steps_per_epoch} optimizer steps/epoch, {total_steps} total, "
+                f"{cfg.optimizer.warmup_steps} warmup")
+
+    trainable_labels, _ = opt_lib.split_params(labels, labels)
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
+                                total_steps,
+                                accumulation_steps=cfg.train.accumulation_steps)
+    state = create_train_state(params, labels, tx)
+    del params
+
+    train_step = make_train_step(cfg, model, frontend, tx)
+    eval_step = make_eval_step(cfg, model, frontend)
+
+    start_epoch = 1
+    latest_path = os.path.join(out_dir, "latest")
+    if cfg.train.resume and ckpt_lib.checkpoint_exists(latest_path):
+        meta = ckpt_lib.load_metadata(latest_path)
+        state = ckpt_lib.restore_checkpoint(latest_path, state)
+        start_epoch = meta["epoch"] + 1
+        logger.info(f"Resumed from {latest_path} at epoch {meta['epoch']}")
+
+    best_val_loss = float("inf")
+    best_gap = 0.0
+    clean_history, corrupt_history = [], []
+    rng = jax.random.PRNGKey(cfg.train.seed + 17)
+    results: dict = {}
+
+    for epoch in range(start_epoch, cfg.train.num_epochs + 1):
+        t0 = time.time()
+        loss_sum = clean_sum = corrupt_sum = 0.0
+        n_batches = 0
+        for batch in pipeline.epoch_batches(source, "train", epoch):
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            loss_sum += float(metrics["loss"])
+            clean_sum += float(metrics["clean_hr"])
+            corrupt_sum += float(metrics["corrupt_hr"])
+            n_batches += 1
+            if n_batches % cfg.train.log_every_batches == 0:
+                logger.info(
+                    f"Epoch {epoch} batch {n_batches}: "
+                    f"loss={loss_sum / n_batches:.4f} "
+                    f"clean={clean_sum / n_batches:.3f} "
+                    f"corrupt={corrupt_sum / n_batches:.3f} "
+                    f"gap={(clean_sum - corrupt_sum) / n_batches:.3f}")
+        n = max(n_batches, 1)
+        train_metrics = {
+            "loss": loss_sum / n,
+            "clean_similarity": clean_sum / n,
+            "corrupt_similarity": corrupt_sum / n,
+            "similarity_gap": (clean_sum - corrupt_sum) / n,
+        }
+        train_time = time.time() - t0
+        clips_per_sec = n_batches * cfg.data.batch_size / max(train_time, 1e-9)
+
+        val_metrics, val_s_pos, val_s_neg = evaluate(
+            cfg, eval_step, state, pipeline, source, "validation", epoch, logger)
+        clean_history.append(val_metrics["clean_similarity"])
+        corrupt_history.append(val_metrics["corrupt_similarity"])
+        epoch_time = time.time() - t0
+
+        logger.info(
+            f"Epoch {epoch}/{cfg.train.num_epochs} - "
+            f"Train Loss: {train_metrics['loss']:.4f}, "
+            f"Val Loss: {val_metrics['loss']:.4f}, "
+            f"Clean Sim: {val_metrics['clean_similarity']:.4f}, "
+            f"Corrupt Sim: {val_metrics['corrupt_similarity']:.4f}, "
+            f"Gap: {val_metrics['similarity_gap']:.4f}, "
+            f"Time: {epoch_time:.2f}s "
+            f"({clips_per_sec:.2f} clips/s train)")
+
+        meta = {"train_metrics": train_metrics, "val_metrics": val_metrics,
+                "clips_per_sec": clips_per_sec}
+        ckpt_lib.save_checkpoint(latest_path, state, cfg, epoch, meta)
+        if val_metrics["loss"] < best_val_loss:
+            best_val_loss = val_metrics["loss"]
+            logger.info(f"New best validation loss: {best_val_loss:.4f}")
+            ckpt_lib.save_checkpoint(os.path.join(out_dir, "best_model_loss"),
+                                     state, cfg, epoch, meta)
+        if val_metrics["similarity_gap"] > best_gap:
+            best_gap = val_metrics["similarity_gap"]
+            logger.info(f"New best similarity gap: {best_gap:.4f}")
+            ckpt_lib.save_checkpoint(os.path.join(out_dir, "best_model_gap"),
+                                     state, cfg, epoch, meta)
+        if cfg.train.save_every and epoch % cfg.train.save_every == 0:
+            ckpt_lib.save_checkpoint(
+                os.path.join(out_dir, f"checkpoint_epoch_{epoch}"),
+                state, cfg, epoch, meta)
+        if epoch % cfg.train.plot_every == 0 or epoch == cfg.train.num_epochs:
+            artifacts.plot_similarity_distributions(
+                val_s_pos, val_s_neg,
+                os.path.join(out_dir, f"similarity_dist_epoch_{epoch}.png"))
+            artifacts.plot_progress(
+                clean_history, corrupt_history,
+                os.path.join(out_dir, "clean_corrupt_progress.png"))
+
+    logger.info("Training completed!")
+    ckpt_lib.save_checkpoint(os.path.join(out_dir, "final_model"), state, cfg,
+                             cfg.train.num_epochs, {})
+
+    # test both best checkpoints
+    test_results: Dict[str, dict] = {}
+    for kind, name in (("best_model_loss", "Best Loss"),
+                       ("best_model_gap", "Best Gap")):
+        path = os.path.join(out_dir, kind)
+        if not ckpt_lib.checkpoint_exists(path):
+            logger.warning(f"{name} model not found")
+            continue
+        test_state = ckpt_lib.restore_checkpoint(path, state)
+        meta = ckpt_lib.load_metadata(path)
+        logger.info(f"Loaded {name.lower()} model from epoch {meta['epoch']}")
+        metrics, s_pos, s_neg = evaluate(
+            cfg, eval_step, test_state, pipeline, source, "test",
+            cfg.train.num_epochs + 1, logger)
+        test_results[f"{kind.replace('best_model', 'best')}_model"] = metrics
+        artifacts.plot_similarity_distributions(
+            s_pos, s_neg,
+            os.path.join(out_dir,
+                         f"test_similarity_dist_{kind.replace('model_', '')}.png"))
+    artifacts.write_test_metrics(out_dir, test_results)
+    logger.info("Evaluation completed!")
+    for model_name, metrics in test_results.items():
+        logger.info(f"Test results for {model_name}:")
+        logger.info(f"  Loss: {metrics['loss']:.4f}")
+        logger.info(f"  Clean Sample Similarity: {metrics['clean_similarity']:.4f}")
+        logger.info(f"  Corrupted Sample Similarity: {metrics['corrupt_similarity']:.4f}")
+        logger.info(f"  Similarity Gap: {metrics['similarity_gap']:.4f}")
+
+    results["test_metrics"] = test_results
+    results["state"] = state
+    results["val_history"] = {"clean": clean_history, "corrupt": corrupt_history}
+    return results

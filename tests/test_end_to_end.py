@@ -1,0 +1,87 @@
+"""End-to-end smoke: tiny model trains on synthetic data, gap grows, artifacts
+are written in the reference's schema, resume works."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from speech_transcript_embeddings_tpu.config import (
+    DataConfig, ExperimentConfig, FreezeConfig, LossConfig, OptimizerConfig,
+    TrainConfig, tiny_model_config,
+)
+from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+from speech_transcript_embeddings_tpu.training.loop import run_experiment
+
+
+def smoke_cfg(tmp, **train_kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        model=tiny_model_config(),
+        freeze=FreezeConfig(mode="partial", text_layers_to_unfreeze=1,
+                            audio_layers_to_unfreeze=1),
+        loss=LossConfig(),
+        optimizer=OptimizerConfig(learning_rate=2e-3, warmup_steps=3),
+        data=DataConfig(dataset="synthetic", batch_size=8, max_text_length=12,
+                        audio_buckets=(16000, 48000), max_audio_samples=48000,
+                        num_synthetic_samples=48),
+        train=TrainConfig(num_epochs=2, accumulation_steps=1, seed=0,
+                          output_dir=str(tmp), plot_every=1,
+                          log_every_batches=1000, **train_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("smoke_run")
+    cfg = smoke_cfg(tmp)
+    results = run_experiment(cfg)
+    return cfg, results, tmp
+
+
+def test_training_improves_gap(run):
+    cfg, results, tmp = run
+    hist = results["val_history"]
+    gaps = [c - k for c, k in zip(hist["clean"], hist["corrupt"])]
+    # the synthetic audio encodes word identity: the gap must become positive
+    # and improve over training
+    assert gaps[-1] > 0.0
+    assert gaps[-1] >= gaps[0] - 1e-6
+
+
+def test_artifact_schema(run):
+    cfg, results, tmp = run
+    out = str(tmp)
+    assert os.path.exists(os.path.join(out, "training.log"))
+    with open(os.path.join(out, "test_metrics.json")) as f:
+        tm = json.load(f)
+    assert set(tm) <= {"best_loss_model", "best_gap_model"} and tm
+    for block in tm.values():
+        assert set(block) == {"loss", "avg_similarity", "median_similarity",
+                              "std_similarity", "clean_similarity",
+                              "corrupt_similarity", "similarity_gap"}
+    for name in ("similarity_dist_epoch_2.png", "clean_corrupt_progress.png",
+                 "config.json"):
+        assert os.path.exists(os.path.join(out, name)), name
+    assert ckpt_lib.checkpoint_exists(os.path.join(out, "final_model"))
+    assert ckpt_lib.checkpoint_exists(os.path.join(out, "latest"))
+
+
+def test_checkpoint_metadata_self_describing(run):
+    cfg, results, tmp = run
+    meta = ckpt_lib.load_metadata(os.path.join(str(tmp), "best_model_gap"))
+    assert meta["config"]["freeze"]["mode"] == "partial"
+    assert meta["config"]["model"]["heads"]["projection_dim"] == \
+        cfg.model.heads.projection_dim
+    assert "epoch" in meta
+
+
+def test_resume_continues_not_restarts(run, tmp_path):
+    cfg, results, tmp = run
+    # extend the same run directory to 3 epochs: must resume from epoch 2
+    cfg3 = smoke_cfg(tmp).with_overrides({"train": {"num_epochs": 3}})
+    results3 = run_experiment(cfg3)
+    assert len(results3["val_history"]["clean"]) == 1   # only epoch 3 ran
+    meta = ckpt_lib.load_metadata(os.path.join(str(tmp), "latest"))
+    assert meta["epoch"] == 3
