@@ -1,0 +1,152 @@
+"""Batched embedding + cosine-similarity inference API.
+
+The TPU replacement for the reference's inference stack (model.py +
+processor.py + inference.py:26-163 + cv_inference.py:27-237): one ``Embedder``
+that loads a self-describing checkpoint (config from ``metadata.json`` — no
+state-dict key sniffing) and exposes:
+
+  * ``embed_pair(text, audio)``   — fused forward, similarity via the full model
+  * ``embed_texts / embed_audios``— batched projection-space embeddings (the
+    reference processor's path: encoder → pooling → projection, no cross-modal
+    fusion, L2-normalised)
+  * ``similarity(a, b)``          — cosine similarity of normalised embeddings
+  * ``retrieval_metrics``         — speech→text Recall@K over embedding sets
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_transcript_embeddings_tpu.config import ExperimentConfig
+from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer, Tokenizer
+from speech_transcript_embeddings_tpu.models.dual_encoder import (
+    DualEncoderModel, init_params, l2_normalize,
+)
+from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
+from speech_transcript_embeddings_tpu.training.train_step import create_train_state
+
+
+class Embedder:
+    def __init__(self, cfg: ExperimentConfig, params: dict,
+                 tokenizer: Optional[Tokenizer] = None):
+        self.cfg = cfg
+        self.model = DualEncoderModel(cfg.model)
+        self.frontend = LogMelFrontend(cfg.model.frontend)
+        self.params = params
+        self.tokenizer = tokenizer or SimpleWordTokenizer(
+            vocab_size=cfg.model.text.vocab_size)
+        self._embed_text_jit = jax.jit(self._embed_text)
+        self._embed_audio_jit = jax.jit(self._embed_audio)
+        self._pair_jit = jax.jit(self._pair)
+
+    # ---- loading -------------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str,
+                        tokenizer: Optional[Tokenizer] = None) -> "Embedder":
+        meta = ckpt_lib.load_metadata(path)
+        cfg = ExperimentConfig.from_json(__import__("json").dumps(meta["config"]))
+        model = DualEncoderModel(cfg.model)
+        params = jax.eval_shape(
+            lambda: init_params(model, jax.random.PRNGKey(0)))
+        labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
+        trainable_labels, _ = opt_lib.split_params(labels, labels)
+        tx = opt_lib.make_optimizer(
+            cfg.optimizer, cfg.freeze, trainable_labels, total_steps=1,
+            accumulation_steps=cfg.train.accumulation_steps)
+        abstract = jax.eval_shape(
+            lambda p: create_train_state(p, labels, tx), params)
+        state = ckpt_lib.restore_checkpoint(path, abstract)
+        merged = opt_lib.merge_params(dict(state.trainable), dict(state.frozen))
+        return cls(cfg, merged, tokenizer)
+
+    # ---- jitted kernels ------------------------------------------------------
+
+    def _embed_text(self, params, input_ids, attention_mask):
+        proj, _ = self.model.apply({"params": params}, input_ids, attention_mask,
+                                   method=DualEncoderModel.encode_text)
+        return l2_normalize(proj)
+
+    def _embed_audio(self, params, waveform, num_samples):
+        features, mask = self.frontend(waveform, num_samples)
+        proj, _ = self.model.apply({"params": params}, features, mask,
+                                   method=DualEncoderModel.encode_audio)
+        return l2_normalize(proj)
+
+    def _pair(self, params, batch):
+        return self.model.apply({"params": params}, batch)
+
+    # ---- public API ----------------------------------------------------------
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        ids, masks = zip(*(self.tokenizer.encode(t, self.cfg.data.max_text_length)
+                           for t in texts))
+        out = self._embed_text_jit(self.params, jnp.asarray(np.stack(ids)),
+                                   jnp.asarray(np.stack(masks)))
+        return np.asarray(out)
+
+    def _pad_audio(self, audios: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+        max_len = self.cfg.data.max_audio_samples
+        lens = [min(len(a), max_len) for a in audios]
+        buckets = sorted(self.cfg.data.audio_buckets)
+        import bisect
+        bucket = buckets[min(bisect.bisect_left(buckets, max(lens)),
+                             len(buckets) - 1)]
+        wav = np.zeros((len(audios), bucket), np.float32)
+        for i, a in enumerate(audios):
+            a = np.asarray(a, np.float32)[: bucket]
+            peak = np.abs(a).max() if len(a) else 0.0
+            if peak > 1.0:
+                a = a / peak
+            wav[i, : len(a)] = a
+            lens[i] = min(lens[i], bucket)
+        return wav, np.asarray(lens, np.int32)
+
+    def embed_audios(self, audios: Sequence[np.ndarray]) -> np.ndarray:
+        wav, lens = self._pad_audio(audios)
+        out = self._embed_audio_jit(self.params, jnp.asarray(wav), jnp.asarray(lens))
+        return np.asarray(out)
+
+    def embed_pair(self, text: str, audio: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
+        """Full fused forward (cross-modal attention included), like the
+        reference's ``model.forward`` path. → (similarity, text_emb, audio_emb)."""
+        ids, mask = self.tokenizer.encode(text, self.cfg.data.max_text_length)
+        wav, lens = self._pad_audio([audio])
+        features, amask = self.frontend(jnp.asarray(wav), jnp.asarray(lens))
+        batch = {
+            "input_ids": jnp.asarray(ids)[None],
+            "attention_mask": jnp.asarray(mask)[None],
+            "input_features": features,
+            "attention_mask_audio": amask,
+        }
+        text_emb, audio_emb = self._pair_jit(self.params, batch)
+        sim = float(np.sum(np.asarray(text_emb[0]) * np.asarray(audio_emb[0])))
+        return sim, np.asarray(text_emb[0]), np.asarray(audio_emb[0])
+
+    @staticmethod
+    def similarity(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        a = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        b = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+        return np.sum(a * b, axis=-1)
+
+
+def retrieval_metrics(audio_embs: np.ndarray, text_embs: np.ndarray,
+                      ks: Sequence[int] = (1, 5, 10)) -> dict:
+    """Speech→text retrieval Recall@K (row i's positive is text i)."""
+    sims = audio_embs @ text_embs.T                       # [N, N]
+    n = sims.shape[0]
+    order = np.argsort(-sims, axis=1)
+    ranks = np.empty(n, np.int64)
+    for i in range(n):
+        ranks[i] = int(np.nonzero(order[i] == i)[0][0])
+    out = {f"recall@{k}": float(np.mean(ranks < k)) for k in ks}
+    out["mean_rank"] = float(ranks.mean() + 1)
+    out["mrr"] = float(np.mean(1.0 / (ranks + 1)))
+    return out

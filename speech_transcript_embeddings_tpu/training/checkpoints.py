@@ -62,11 +62,22 @@ def load_metadata(path: str) -> dict:
 
 def restore_checkpoint(path: str, abstract_state: TrainState) -> TrainState:
     """Restore into the structure of ``abstract_state`` (from jax.eval_shape or a
-    freshly created state)."""
+    freshly created state). Leaves without a concrete sharding (eval_shape
+    structs) are restored onto the default device — orbax requires every target
+    leaf to carry a concrete ``jax.sharding.Sharding``."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    target = jax.tree.map(ocp.utils.to_shape_dtype_struct,
-                          _state_to_pytree(abstract_state))
+    default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def to_target(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            sharding = x.sharding if x.sharding is not None else default
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    target = jax.tree.map(to_target, _state_to_pytree(abstract_state))
     restored = ckptr.restore(os.path.join(path, "state"), target)
     return TrainState(
         step=restored["step"],
