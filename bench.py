@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark: flagship training throughput on the available TPU chip(s).
+
+Measures warm-step clips/sec/chip of the full jitted training step — on-device
+log-mel frontend + dual-encoder forward (w2v-bert-2.0 conformer 24×1024 + mpnet
+12×768 geometry) + pairwise contrastive loss + backward over the partially
+unfrozen split (5+5 top layers, reference best-gap recipe) + AdamW update — on
+10-second audio clips, batch 16, bf16 compute.
+
+Baseline: the reference trains ≈5.8 clips/s on a 32 GiB V100-class GPU in fp32
+(BASELINE.md, correct_encoder run, epoch-1 train-only wall time).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC = 5.8
+BATCH = 16
+AUDIO_SECONDS = 10
+TEXT_LEN = 64
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+
+
+def main():
+    import jax
+
+    from speech_transcript_embeddings_tpu import config as config_lib
+    from speech_transcript_embeddings_tpu.models.dual_encoder import (
+        DualEncoderModel, template_params,
+    )
+    from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+    from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
+    from speech_transcript_embeddings_tpu.training.train_step import (
+        create_train_state, make_train_step,
+    )
+
+    n_chips = max(len(jax.devices()), 1)
+    asamps = AUDIO_SECONDS * 16000
+
+    cfg = config_lib.ExperimentConfig(
+        model=config_lib.ModelConfig(dtype="bfloat16", remat=True),
+        freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
+                                       audio_layers_to_unfreeze=5),
+        optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100),
+        data=config_lib.DataConfig(batch_size=BATCH, max_text_length=TEXT_LEN,
+                                   audio_buckets=(asamps,),
+                                   max_audio_samples=asamps),
+        train=config_lib.TrainConfig(num_epochs=1, accumulation_steps=1),
+    )
+
+    model = DualEncoderModel(cfg.model)
+    frontend = LogMelFrontend(cfg.model.frontend)
+    params = template_params(model)
+    labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
+    trainable_labels, _ = opt_lib.split_params(labels, labels)
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
+                                total_steps=1000)
+    state = create_train_state(params, labels, tx)
+    del params
+    train_step = make_train_step(cfg, model, frontend, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "waveform": rng.normal(scale=0.05, size=(BATCH, asamps)).astype(np.float32),
+        "num_samples": rng.integers(asamps * 3 // 4, asamps,
+                                    size=BATCH).astype(np.int32),
+        "input_ids_pos": rng.integers(
+            4, cfg.model.text.vocab_size, size=(BATCH, TEXT_LEN)).astype(np.int32),
+        "attention_mask_pos": np.ones((BATCH, TEXT_LEN), np.int32),
+        "input_ids_neg": rng.integers(
+            4, cfg.model.text.vocab_size, size=(BATCH, TEXT_LEN)).astype(np.int32),
+        "attention_mask_neg": np.ones((BATCH, TEXT_LEN), np.int32),
+    }
+
+    key = jax.random.PRNGKey(1)
+    for i in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = MEASURE_STEPS * BATCH / dt
+    per_chip = clips_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "clips/s/chip (10s clips, flagship geometry, bf16, 5+5 unfrozen)",
+        "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

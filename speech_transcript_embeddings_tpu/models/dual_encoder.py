@@ -207,7 +207,12 @@ class DualEncoderModel(nn.Module):
 
 def init_params(model: DualEncoderModel, rng: jax.Array, *,
                 batch_size: int = 2, text_len: int = 8, audio_len: int = 6):
-    """Initialise parameters with a tiny dummy batch (shapes don't constrain use)."""
+    """Initialise parameters with a tiny dummy batch (shapes don't constrain use).
+
+    The init runs as ONE jitted program — eager init of a ~900M-param model
+    dispatches thousands of tiny ops, which is pathologically slow through a
+    remote-compile TPU tunnel.
+    """
     cfg = model.cfg
     dummy = {
         "input_ids_pos": jnp.ones((batch_size, text_len), jnp.int32),
@@ -218,4 +223,36 @@ def init_params(model: DualEncoderModel, rng: jax.Array, *,
                                     jnp.float32),
         "attention_mask_audio": jnp.ones((batch_size, audio_len), jnp.int32),
     }
-    return model.init(rng, dummy)["params"]
+    return jax.jit(lambda r: model.init(r, dummy)["params"])(rng)
+
+
+def _dummy_batch(cfg, batch_size=2, text_len=8, audio_len=6):
+    return {
+        "input_ids_pos": jnp.ones((batch_size, text_len), jnp.int32),
+        "attention_mask_pos": jnp.ones((batch_size, text_len), jnp.int32),
+        "input_ids_neg": jnp.ones((batch_size, text_len), jnp.int32),
+        "attention_mask_neg": jnp.ones((batch_size, text_len), jnp.int32),
+        "input_features": jnp.zeros((batch_size, audio_len, cfg.audio.feature_dim),
+                                    jnp.float32),
+        "attention_mask_audio": jnp.ones((batch_size, audio_len), jnp.int32),
+    }
+
+
+def abstract_params(model: DualEncoderModel):
+    """Parameter ShapeDtypeStructs without any computation."""
+    return jax.eval_shape(
+        lambda r: model.init(r, _dummy_batch(model.cfg))["params"],
+        jax.random.PRNGKey(0))
+
+
+def template_params(model: DualEncoderModel):
+    """Structurally correct zero params, materialised as one trivial program.
+
+    For compile checks and throughput benchmarks only (dense-op timing is
+    data-independent); NOT a usable training init — real runs use
+    ``init_params``. Exists because a full random init of ~900M params is a
+    large threefry program that is very slow through a remote-compile tunnel.
+    """
+    shapes = abstract_params(model)
+    return jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()

@@ -79,6 +79,12 @@ def param_shardings(mesh: Mesh, params, model_axis: str = "model"):
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def flat_param_shardings(mesh: Mesh, flat_params: dict,
+                         model_axis: str = "model") -> dict:
+    """NamedShardings for a flat ``{path: array}`` dict (TrainState layout)."""
+    return {k: NamedSharding(mesh, _spec_for(k, model_axis)) for k in flat_params}
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Batch arrays: shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(data_axis))
