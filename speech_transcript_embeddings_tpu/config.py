@@ -217,6 +217,9 @@ class TrainConfig:
     seed: int = 42
     output_dir: str = "./runs/audio_text_model"
     resume: bool = True             # reference had no resume path; we do
+    # params-only checkpoint (convert_checkpoint.py output) to initialise from
+    init_checkpoint: Optional[str] = None
+    validate_gradients: bool = False   # run the grad-accum self-check up front
     log_every_batches: int = 50
 
 

@@ -91,6 +91,44 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "metadata.json"))
 
 
+def save_params_checkpoint(path: str, params, cfg: ExperimentConfig,
+                           info: Optional[dict] = None) -> None:
+    """Params-only checkpoint (e.g. converted pretrained encoders + fresh heads),
+    used to initialise training via ``TrainConfig.init_checkpoint``."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "params"), {"params": params})
+    ckptr.wait_until_finished()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "params_only",
+        "info": _jsonable(info or {}),
+        "config": json.loads(cfg.to_json()),
+    }
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def restore_params_checkpoint(path: str, abstract_params):
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def to_target(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            sharding = x.sharding if x.sharding is not None else default
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    target = {"params": jax.tree.map(to_target, abstract_params)}
+    return ckptr.restore(os.path.join(path, "params"), target)["params"]
+
+
 def _jsonable(obj):
     if isinstance(obj, dict):
         return {k: _jsonable(v) for k, v in obj.items()}

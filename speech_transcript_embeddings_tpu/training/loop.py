@@ -32,7 +32,8 @@ from speech_transcript_embeddings_tpu.models.dual_encoder import (
     DualEncoderModel,
     init_params,
 )
-from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+from speech_transcript_embeddings_tpu.ops import make_frontend
+from speech_transcript_embeddings_tpu.parallel import mesh as mesh_lib
 from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
 from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
 from speech_transcript_embeddings_tpu.training.train_step import (
@@ -115,8 +116,12 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     logger.info(f"  Test samples: {source.num_examples('test')}")
 
     model = DualEncoderModel(cfg.model)
-    frontend = LogMelFrontend(cfg.model.frontend)
+    frontend = make_frontend(cfg.model.frontend)
     params = init_params(model, jax.random.PRNGKey(cfg.train.seed))
+    if cfg.train.init_checkpoint:
+        logger.info(f"Initializing params from {cfg.train.init_checkpoint}")
+        params = ckpt_lib.restore_params_checkpoint(
+            cfg.train.init_checkpoint, params)
     labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
 
     n_param = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -143,13 +148,59 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     train_step = make_train_step(cfg, model, frontend, tx)
     eval_step = make_eval_step(cfg, model, frontend)
 
+    # device mesh: data-parallel batches (+ optional tensor-parallel params) over
+    # all visible chips; single-chip runs get a trivial 1x1 mesh
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    n_data = mesh.shape[cfg.mesh.data_axis]
+    if cfg.data.batch_size % max(n_data, 1):
+        g = math.gcd(cfg.data.batch_size, n_data)
+        logger.warning(
+            f"batch_size {cfg.data.batch_size} not divisible by the {n_data}-way "
+            f"data axis; shrinking the mesh to data={g}")
+        import dataclasses as _dc
+        mesh = mesh_lib.make_mesh(_dc.replace(cfg.mesh, num_data=g))
+
+    def place_state(s):
+        if mesh.size <= 1:
+            return s
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        return s.replace(
+            trainable=jax.device_put(
+                s.trainable, mesh_lib.flat_param_shardings(mesh, s.trainable)),
+            frozen=jax.device_put(
+                s.frozen, mesh_lib.flat_param_shardings(mesh, s.frozen)),
+            opt_state=jax.tree.map(
+                lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a,
+                s.opt_state),
+            step=jax.device_put(s.step, rep),
+        )
+
+    if mesh.size > 1:
+        logger.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    state = place_state(state)
+    place_batch = (lambda b: mesh_lib.shard_batch(mesh, b)) if mesh.size > 1 \
+        else (lambda b: b)
+
     start_epoch = 1
     latest_path = os.path.join(out_dir, "latest")
     if cfg.train.resume and ckpt_lib.checkpoint_exists(latest_path):
         meta = ckpt_lib.load_metadata(latest_path)
-        state = ckpt_lib.restore_checkpoint(latest_path, state)
+        state = place_state(ckpt_lib.restore_checkpoint(latest_path, state))
         start_epoch = meta["epoch"] + 1
         logger.info(f"Resumed from {latest_path} at epoch {meta['epoch']}")
+
+    if cfg.train.validate_gradients and cfg.train.accumulation_steps > 1:
+        from speech_transcript_embeddings_tpu.training import diagnostics
+        probe = []
+        for b in pipeline.epoch_batches(source, "train", epoch=0):
+            if probe and b["waveform"].shape != probe[0]["waveform"].shape:
+                continue
+            probe.append(b)
+            if len(probe) >= min(cfg.train.accumulation_steps, 4):
+                break
+        diagnostics.validate_gradient_accumulation(cfg, model, frontend, state,
+                                                   probe)
 
     best_val_loss = float("inf")
     best_gap = 0.0
@@ -163,7 +214,7 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         n_batches = 0
         for batch in pipeline.epoch_batches(source, "train", epoch):
             rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub)
+            state, metrics = train_step(state, place_batch(batch), sub)
             loss_sum += float(metrics["loss"])
             clean_sum += float(metrics["clean_hr"])
             corrupt_sum += float(metrics["corrupt_hr"])
