@@ -156,6 +156,15 @@ class FreezeConfig:
     mode: str = "partial"
     text_layers_to_unfreeze: int = 5
     audio_layers_to_unfreeze: int = 5
+    # Reference parity leaves the text embeddings and the audio feature
+    # projection trainable (they are never frozen by the per-layer loop,
+    # trainer_unfreeze.py:366-401). They sit BELOW the frozen blocks, so
+    # training them forces a full-depth backward pass; set these False to stop
+    # backprop at the lowest unfrozen block (≈1.6× faster steps, far smaller
+    # optimizer state — the text embedding table alone is ~63%% of the
+    # reference's trainable params).
+    train_text_embeddings: bool = True
+    train_audio_feature_projection: bool = True
 
 
 @dataclass(frozen=True)
@@ -221,6 +230,10 @@ class TrainConfig:
     init_checkpoint: Optional[str] = None
     validate_gradients: bool = False   # run the grad-accum self-check up front
     log_every_batches: int = 50
+    # capture a jax.profiler trace of a few warm steps into this directory
+    profile_dir: Optional[str] = None
+    profile_steps: int = 3
+    prefetch_batches: int = 2          # host-side batch prefetch depth (0 = off)
 
 
 @dataclass(frozen=True)

@@ -130,6 +130,41 @@ class DataPipeline:
                     yield batch
 
 
+def prefetch(iterator, depth: int = 2):
+    """Run the host pipeline in a background thread, keeping up to ``depth``
+    ready batches — overlaps tokenisation/padding with device compute (the
+    reference used 12 DataLoader workers for this plus featurisation; our
+    featurisation is on-device so one thread suffices)."""
+    if depth <= 0:
+        yield from iterator
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:   # propagate into the consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
 def _shuffled(iterator, rng: np.random.Generator, buffer_size: int):
     """Streaming shuffle with a bounded reservoir buffer."""
     buf = []

@@ -212,9 +212,22 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         t0 = time.time()
         loss_sum = clean_sum = corrupt_sum = 0.0
         n_batches = 0
-        for batch in pipeline.epoch_batches(source, "train", epoch):
+        from speech_transcript_embeddings_tpu.data.pipeline import prefetch
+        batches = prefetch(pipeline.epoch_batches(source, "train", epoch),
+                           cfg.train.prefetch_batches)
+        profiling = False
+        for batch in batches:
+            if (cfg.train.profile_dir and epoch == start_epoch
+                    and n_batches == 2 and not profiling):
+                jax.profiler.start_trace(cfg.train.profile_dir)
+                profiling = True
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, place_batch(batch), sub)
+            if profiling and n_batches >= 2 + cfg.train.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"Profiler trace written to {cfg.train.profile_dir}")
             loss_sum += float(metrics["loss"])
             clean_sum += float(metrics["clean_hr"])
             corrupt_sum += float(metrics["corrupt_hr"])
@@ -226,6 +239,8 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
                     f"clean={clean_sum / n_batches:.3f} "
                     f"corrupt={corrupt_sum / n_batches:.3f} "
                     f"gap={(clean_sum - corrupt_sum) / n_batches:.3f}")
+        if profiling:
+            jax.profiler.stop_trace()
         n = max(n_batches, 1)
         train_metrics = {
             "loss": loss_sum / n,

@@ -53,8 +53,11 @@ def _label_for(path: str, freeze: FreezeConfig, model: ModelConfig) -> str:
     if len(parts) > 1 and parts[1].startswith("layer_"):
         idx = int(parts[1].split("_")[1])
         return FROZEN if idx < total - keep else ENCODER
-    # non-block params: text embeddings / audio feature projection stay trainable
-    return ENCODER
+    # non-block params: text embeddings / audio feature projection follow their
+    # FreezeConfig flags (reference parity: trainable)
+    if in_text:
+        return ENCODER if freeze.train_text_embeddings else FROZEN
+    return ENCODER if freeze.train_audio_feature_projection else FROZEN
 
 
 def param_labels(params, freeze: FreezeConfig, model: ModelConfig) -> Dict:
