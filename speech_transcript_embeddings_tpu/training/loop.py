@@ -87,6 +87,48 @@ def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
     return metrics, s_pos, s_neg
 
 
+def compute_retrieval(cfg, model, frontend, state, pipeline, source,
+                      split: str = "test") -> Dict[str, float]:
+    """Speech→text Recall@K over a split.
+
+    Uses *independent* projection-space embeddings (encoder → pooling →
+    projection, no cross-modal fusion): the fused pair path mixes the two
+    modalities, so its embeddings are pair-dependent and invalid for ranking.
+    """
+    from speech_transcript_embeddings_tpu.inference.embed import retrieval_metrics
+    from speech_transcript_embeddings_tpu.models.dual_encoder import l2_normalize
+    from speech_transcript_embeddings_tpu.training import optimizer as _opt
+    from speech_transcript_embeddings_tpu.models.dual_encoder import DualEncoderModel
+
+    @jax.jit
+    def embed_independent(trainable, frozen, batch):
+        params = _opt.merge_params(trainable, frozen)
+        features, amask = frontend(batch["waveform"], batch["num_samples"])
+        te, _ = model.apply({"params": params}, batch["input_ids"],
+                            batch["attention_mask"],
+                            method=DualEncoderModel.encode_text)
+        ae, _ = model.apply({"params": params}, features, amask,
+                            method=DualEncoderModel.encode_audio)
+        return l2_normalize(te), l2_normalize(ae)
+
+    text_embs, audio_embs = [], []
+    for batch in pipeline.epoch_batches(source, split, epoch=0):
+        eb = {
+            "waveform": batch["waveform"],
+            "num_samples": batch["num_samples"],
+            "input_ids": batch["input_ids_pos"],
+            "attention_mask": batch["attention_mask_pos"],
+        }
+        te, ae = embed_independent(state.trainable, state.frozen, eb)
+        m = batch["example_mask"].astype(bool)
+        text_embs.append(np.asarray(te)[m])
+        audio_embs.append(np.asarray(ae)[m])
+    if not text_embs:
+        return {}
+    return retrieval_metrics(np.concatenate(audio_embs),
+                             np.concatenate(text_embs))
+
+
 def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
                    logger=None) -> dict:
     out_dir = cfg.train.output_dir
@@ -316,6 +358,23 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
             os.path.join(out_dir,
                          f"test_similarity_dist_{kind.replace('model_', '')}.png"))
     artifacts.write_test_metrics(out_dir, test_results)
+
+    # speech→text retrieval over the test split with the best-gap (else
+    # best-loss) model — the BASELINE.json headline metric. Kept in its own
+    # file so test_metrics.json stays schema-identical to the reference.
+    best_kind = ("best_model_gap" if ckpt_lib.checkpoint_exists(
+        os.path.join(out_dir, "best_model_gap")) else "best_model_loss")
+    if ckpt_lib.checkpoint_exists(os.path.join(out_dir, best_kind)):
+        ret_state = ckpt_lib.restore_checkpoint(
+            os.path.join(out_dir, best_kind), state)
+        retrieval = compute_retrieval(cfg, model, frontend, ret_state,
+                                      pipeline, source, "test")
+        import json as _json
+        with open(os.path.join(out_dir, "retrieval_metrics.json"), "w") as f:
+            _json.dump({best_kind: retrieval}, f, indent=2)
+        logger.info(f"Retrieval ({best_kind}): " + ", ".join(
+            f"{k}={v:.4f}" for k, v in retrieval.items()))
+        results["retrieval"] = retrieval
     logger.info("Evaluation completed!")
     for model_name, metrics in test_results.items():
         logger.info(f"Test results for {model_name}:")

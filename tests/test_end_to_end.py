@@ -85,3 +85,14 @@ def test_resume_continues_not_restarts(run, tmp_path):
     assert len(results3["val_history"]["clean"]) == 1   # only epoch 3 ran
     meta = ckpt_lib.load_metadata(os.path.join(str(tmp), "latest"))
     assert meta["epoch"] == 3
+
+
+def test_retrieval_metrics_written(run):
+    cfg, results, tmp = run
+    import json as j
+    path = os.path.join(str(tmp), "retrieval_metrics.json")
+    assert os.path.exists(path)
+    data = j.load(open(path))
+    block = next(iter(data.values()))
+    assert {"recall@1", "recall@5", "recall@10", "mean_rank", "mrr"} <= set(block)
+    assert 0.0 <= block["recall@1"] <= 1.0

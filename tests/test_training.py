@@ -227,3 +227,18 @@ def test_data_parallel_step_matches_single_device(setup):
     for k in g1:
         np.testing.assert_allclose(g8[k], g1[k], rtol=1e-3, atol=1e-6,
                                    err_msg=k)
+
+
+def test_freeze_flags_stop_bottom_training(setup):
+    cfg, model, fresh, _ = setup
+    params = fresh()
+    from flax import traverse_util
+    fz = FreezeConfig(mode="partial", text_layers_to_unfreeze=1,
+                      audio_layers_to_unfreeze=1,
+                      train_text_embeddings=False,
+                      train_audio_feature_projection=False)
+    flat = traverse_util.flatten_dict(
+        opt_lib.param_labels(params, fz, cfg.model), sep="/")
+    assert flat["text_encoder/embeddings/word_embeddings/embedding"] == "frozen"
+    assert flat["audio_encoder/feature_projection/kernel"] == "frozen"
+    assert flat["audio_encoder/layer_1/ffn1/intermediate/kernel"] == "encoder"
