@@ -234,6 +234,9 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     profile_steps: int = 3
     prefetch_batches: int = 2          # host-side batch prefetch depth (0 = off)
+    # swallow per-epoch exceptions and continue (reference behavior,
+    # trainer_unfreeze.py:1720-1722); default off = fail fast
+    continue_on_epoch_error: bool = False
 
 
 @dataclass(frozen=True)

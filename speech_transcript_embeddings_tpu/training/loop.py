@@ -52,12 +52,13 @@ def default_tokenizer(cfg: ExperimentConfig):
 
 
 def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
-             logger) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
+             logger, place_batch=lambda b: b
+             ) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
     """→ (metrics dict, raw clean cosines, raw corrupt cosines)."""
     loss_sum = clean_sum = corrupt_sum = count = 0.0
     s_pos_all, s_neg_all = [], []
     for batch in pipeline.epoch_batches(source, split, epoch):
-        out = eval_step(state.trainable, state.frozen, batch)
+        out = eval_step(state.trainable, state.frozen, place_batch(batch))
         loss_sum += float(out["loss_sum"])
         clean_sum += float(out["clean_hr_sum"])
         corrupt_sum += float(out["corrupt_hr_sum"])
@@ -251,6 +252,7 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     results: dict = {}
 
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
+      try:
         t0 = time.time()
         loss_sum = clean_sum = corrupt_sum = 0.0
         n_batches = 0
@@ -294,7 +296,8 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         clips_per_sec = n_batches * cfg.data.batch_size / max(train_time, 1e-9)
 
         val_metrics, val_s_pos, val_s_neg = evaluate(
-            cfg, eval_step, state, pipeline, source, "validation", epoch, logger)
+            cfg, eval_step, state, pipeline, source, "validation", epoch, logger,
+            place_batch)
         clean_history.append(val_metrics["clean_similarity"])
         corrupt_history.append(val_metrics["corrupt_similarity"])
         epoch_time = time.time() - t0
@@ -333,6 +336,11 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
             artifacts.plot_progress(
                 clean_history, corrupt_history,
                 os.path.join(out_dir, "clean_corrupt_progress.png"))
+      except Exception as e:                       # reference-parity resilience
+        if not cfg.train.continue_on_epoch_error:
+            raise
+        logger.error(f"Error in epoch {epoch}: {e}")
+        continue
 
     logger.info("Training completed!")
     ckpt_lib.save_checkpoint(os.path.join(out_dir, "final_model"), state, cfg,
