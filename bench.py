@@ -30,6 +30,9 @@ MEASURE_STEPS = 8
 def main():
     import jax
 
+    from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
+    enable()
+
     from speech_transcript_embeddings_tpu import config as config_lib
     from speech_transcript_embeddings_tpu.models.dual_encoder import (
         DualEncoderModel, template_params,

@@ -173,6 +173,8 @@ def main(argv=None):
     b.add_argument("--results-dir", default="cv_results")
     b.add_argument("--per-sample-plots", action="store_true")
     args = parser.parse_args(argv)
+    from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
+    enable()
     if args.mode == "pair":
         run_pair(args)
     else:

@@ -30,7 +30,6 @@ from speech_transcript_embeddings_tpu.models.dual_encoder import (
 from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
 from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
 from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
-from speech_transcript_embeddings_tpu.training.train_step import create_train_state
 
 
 class Embedder:
@@ -57,14 +56,13 @@ class Embedder:
         params = jax.eval_shape(
             lambda: init_params(model, jax.random.PRNGKey(0)))
         labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
-        trainable_labels, _ = opt_lib.split_params(labels, labels)
-        tx = opt_lib.make_optimizer(
-            cfg.optimizer, cfg.freeze, trainable_labels, total_steps=1,
-            accumulation_steps=cfg.train.accumulation_steps)
-        abstract = jax.eval_shape(
-            lambda p: create_train_state(p, labels, tx), params)
-        state = ckpt_lib.restore_checkpoint(path, abstract)
-        merged = opt_lib.merge_params(dict(state.trainable), dict(state.frozen))
+        if meta.get("kind") == "params_only":
+            merged = ckpt_lib.restore_params_checkpoint(path, params)
+        else:
+            trainable_s, frozen_s = opt_lib.split_params(params, labels)
+            trainable, frozen = ckpt_lib.restore_model_params(
+                path, {"trainable": trainable_s, "frozen": frozen_s})
+            merged = opt_lib.merge_params(dict(trainable), dict(frozen))
         return cls(cfg, merged, tokenizer)
 
     # ---- jitted kernels ------------------------------------------------------

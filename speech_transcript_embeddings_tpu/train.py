@@ -48,6 +48,8 @@ def build_config(argv) -> config_lib.ExperimentConfig:
 
 
 def main(argv=None):
+    from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
+    enable()
     cfg = build_config(sys.argv[1:] if argv is None else argv)
     run_experiment(cfg)
 

@@ -91,6 +91,28 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "metadata.json"))
 
 
+def restore_model_params(path: str, abstract_params) -> tuple:
+    """Restore only the (trainable, frozen) param splits from a full training
+    checkpoint — no optimizer reconstruction needed (inference path)."""
+    path = os.path.abspath(path)
+    default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def to_target(x):
+        sharding = getattr(x, "sharding", None) or default
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    target = {k: jax.tree.map(to_target, v) for k, v in abstract_params.items()}
+    restore_args = jax.tree.map(
+        lambda s: ocp.ArrayRestoreArgs(sharding=s.sharding, dtype=s.dtype),
+        target)
+    with ocp.PyTreeCheckpointer() as pytree_ckptr:
+        restored = pytree_ckptr.restore(
+            os.path.join(path, "state"),
+            args=ocp.args.PyTreeRestore(item=target, restore_args=restore_args,
+                                        partial_restore=True))
+    return restored["trainable"], restored["frozen"]
+
+
 def save_params_checkpoint(path: str, params, cfg: ExperimentConfig,
                            info: Optional[dict] = None) -> None:
     """Params-only checkpoint (e.g. converted pretrained encoders + fresh heads),

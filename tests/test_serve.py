@@ -1,0 +1,93 @@
+"""HTTP serving layer: drive the real server over a socket."""
+
+import json
+import os
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+import jax
+
+from speech_transcript_embeddings_tpu.config import (
+    DataConfig, ExperimentConfig, FreezeConfig, TrainConfig, tiny_model_config,
+)
+from speech_transcript_embeddings_tpu.data.sources import synth_audio_for_sentence
+from speech_transcript_embeddings_tpu.models.dual_encoder import (
+    DualEncoderModel, init_params,
+)
+from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
+from speech_transcript_embeddings_tpu.training.train_step import create_train_state
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from http.server import ThreadingHTTPServer
+    from speech_transcript_embeddings_tpu.serve import EmbeddingService, make_handler
+
+    tmp = tmp_path_factory.mktemp("serve_ckpt")
+    cfg = ExperimentConfig(
+        model=tiny_model_config(),
+        freeze=FreezeConfig(mode="partial", text_layers_to_unfreeze=1,
+                            audio_layers_to_unfreeze=1),
+        data=DataConfig(dataset="synthetic", batch_size=4, max_text_length=12,
+                        audio_buckets=(16000, 48000), max_audio_samples=48000),
+        train=TrainConfig(output_dir=str(tmp)),
+    )
+    model = DualEncoderModel(cfg.model)
+    params = init_params(model, jax.random.PRNGKey(0))
+    labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
+    tl, _ = opt_lib.split_params(labels, labels)
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, tl, 10)
+    state = create_train_state(params, labels, tx)
+    path = os.path.join(str(tmp), "final_model")
+    ckpt_lib.save_checkpoint(path, state, cfg, epoch=1)
+
+    service = EmbeddingService(path)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["status"] == "ok" and data["projection_dim"] == 24
+
+
+def test_embed_and_similarity(server):
+    status, out = _post(server + "/embed_text", {"texts": ["casa tempo", "mar sol"]})
+    assert status == 200
+    embs = np.asarray(out["embeddings"])
+    assert embs.shape == (2, 24)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, rtol=1e-4)
+
+    audio = synth_audio_for_sentence("casa tempo").tolist()
+    status, out = _post(server + "/embed_audio", {"audios": [audio]})
+    assert status == 200 and np.asarray(out["embeddings"]).shape == (1, 24)
+
+    status, out = _post(server + "/similarity", {"text": "casa tempo", "audio": audio})
+    assert status == 200
+    assert -1 <= out["similarity"] <= 1 and -1 <= out["similarity_fused"] <= 1
+
+
+def test_bad_requests(server):
+    for path, payload in (("/embed_text", {}), ("/embed_text", {"texts": []}),
+                          ("/similarity", {"text": "x"})):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server + path, payload)
+        assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/nope", {})
+    assert e.value.code == 404
