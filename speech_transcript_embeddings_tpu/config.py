@@ -84,6 +84,13 @@ class AudioEncoderConfig:
     conv_dropout: float = 0.1
     activation_dropout: float = 0.0
     feat_proj_dropout: float = 0.0
+    # SpecAugment time masking (training only) — HF Wav2Vec2Bert applies this in
+    # train mode with a learned masked_spec_embed vector, so the reference's
+    # training runs had it active (mask_time_prob 0.05, length 10, min 2 spans)
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -280,6 +287,7 @@ def tiny_model_config(
             feature_dim=16, hidden_size=audio_hidden, num_layers=num_layers,
             num_heads=4, intermediate_size=audio_hidden * 4, conv_kernel_size=7,
             left_max_rel_pos=8, right_max_rel_pos=2, conv_dropout=0.0,
+            apply_spec_augment=False,
         ),
         frontend=FrontendConfig(num_mel_bins=8, stride=2),
         heads=HeadsConfig(

@@ -55,7 +55,11 @@ def build_converted_params(text_hf, audio_hf, heads_cfg=None, seed: int = 0,
         return {k: v.detach().cpu().numpy() for k, v in m.state_dict().items()}
 
     params["text_encoder"] = convert.convert_text_encoder(np_sd(text_hf), text_cfg)
-    params["audio_encoder"] = convert.convert_audio_encoder(np_sd(audio_hf), audio_cfg)
+    # merge: keep init values for params the HF checkpoint lacks (e.g.
+    # masked_spec_embed when the source was exported without spec augment)
+    params["audio_encoder"] = {**params["audio_encoder"],
+                               **convert.convert_audio_encoder(np_sd(audio_hf),
+                                                               audio_cfg)}
     return cfg, params
 
 

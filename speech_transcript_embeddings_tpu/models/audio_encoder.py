@@ -38,6 +38,29 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+def _spec_augment_time(x, masked_embed, attention_mask, cfg, rng):
+    """SpecAugment time masking with static shapes.
+
+    Samples ``max(round(prob·T/len), min_masks)`` spans of ``mask_time_length``
+    frames per utterance (uniform starts, overlap allowed — the statistics of
+    HF's sampler with a fixed span count) and replaces them with the learned
+    mask embedding. Only valid (unpadded) positions are masked.
+    """
+    b, t, _ = x.shape
+    length = cfg.mask_time_length
+    n_spans = max(int(round(cfg.mask_time_prob * t / length)),
+                  cfg.mask_time_min_masks)
+    if t <= length:
+        return x
+    starts = jax.random.randint(rng, (b, n_spans), 0, t - length)   # [B, S]
+    pos = jnp.arange(t)[None, None, :]                              # [1, 1, T]
+    in_span = (pos >= starts[..., None]) & (pos < starts[..., None] + length)
+    mask = jnp.any(in_span, axis=1)                                 # [B, T]
+    if attention_mask is not None:
+        mask = mask & (attention_mask > 0)
+    return jnp.where(mask[..., None], masked_embed[None, None, :], x)
+
+
 class AudioFeedForward(nn.Module):
     cfg: AudioEncoderConfig
     dtype: jnp.dtype = jnp.float32
@@ -172,6 +195,14 @@ class AudioEncoder(nn.Module):
                          name="feature_norm")(features)
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)
         x = nn.Dropout(c.feat_proj_dropout, deterministic=deterministic)(x)
+        if c.apply_spec_augment and c.mask_time_prob > 0:
+            masked_embed = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(scale=1.0), (c.hidden_size,), jnp.float32)
+            if not deterministic:
+                x = _spec_augment_time(
+                    x, masked_embed.astype(x.dtype), attention_mask, c,
+                    self.make_rng("dropout"))
         if attention_mask is not None:
             x = x * attention_mask[..., None].astype(x.dtype)
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)

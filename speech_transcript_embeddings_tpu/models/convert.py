@@ -78,6 +78,8 @@ def convert_audio_encoder(sd: StateDict, cfg: AudioEncoderConfig) -> dict:
         "feature_norm": _layer_norm(sd, "feature_projection.layer_norm"),
         "feature_projection": _dense(sd, "feature_projection.projection"),
     }
+    if "masked_spec_embed" in sd:
+        params["masked_spec_embed"] = sd["masked_spec_embed"]
     for i in range(cfg.num_layers):
         p = f"encoder.layers.{i}"
         params[f"layer_{i}"] = {
@@ -148,4 +150,8 @@ def audio_config_from_hf(hf_config) -> AudioEncoderConfig:
         conv_dropout=hf_config.conformer_conv_dropout,
         activation_dropout=hf_config.activation_dropout,
         feat_proj_dropout=hf_config.feat_proj_dropout,
+        apply_spec_augment=hf_config.apply_spec_augment,
+        mask_time_prob=hf_config.mask_time_prob,
+        mask_time_length=hf_config.mask_time_length,
+        mask_time_min_masks=hf_config.mask_time_min_masks,
     )

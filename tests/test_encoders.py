@@ -112,3 +112,34 @@ def test_text_position_ids_roberta_offset(text_pair):
     ids = jnp.asarray([[5, 6, 7, 1, 1]])
     got = np.asarray(roberta_position_ids(ids, 1))
     np.testing.assert_array_equal(got, [[2, 3, 4, 1, 1]])
+
+
+def test_spec_augment_masks_in_training_mode():
+    """SpecAugment replaces time spans with the learned embedding only when
+    non-deterministic, and never touches padded positions."""
+    import jax
+    import jax.numpy as jnp
+    from speech_transcript_embeddings_tpu.config import AudioEncoderConfig
+    from speech_transcript_embeddings_tpu.models.audio_encoder import _spec_augment_time
+
+    cfg = AudioEncoderConfig(
+        feature_dim=8, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, conv_kernel_size=7, apply_spec_augment=True,
+        mask_time_prob=0.2, mask_time_length=4, mask_time_min_masks=2)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 40, 16))
+    emb = jnp.full((16,), -5.0)
+    mask = jnp.ones((2, 40), jnp.int32).at[1, 20:].set(0)
+    out = np.asarray(_spec_augment_time(x, emb, mask, cfg, rng))
+    masked = (out[..., 0] == -5.0)
+    assert masked.any()                      # some spans masked
+    assert not masked[1, 20:].any()          # padding untouched
+    assert (out[~masked] == 1.0).all()       # unmasked frames unchanged
+
+
+def test_spec_augment_config_roundtrip_from_hf(audio_pair):
+    from transformers import Wav2Vec2BertConfig
+    hf_cfg = Wav2Vec2BertConfig()   # defaults model facebook/w2v-bert-2.0
+    cfg = convert.audio_config_from_hf(hf_cfg)
+    assert cfg.apply_spec_augment and cfg.mask_time_prob == 0.05
+    assert cfg.mask_time_length == 10 and cfg.mask_time_min_masks == 2
