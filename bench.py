@@ -24,7 +24,7 @@ BATCH = 32
 AUDIO_SECONDS = 10
 TEXT_LEN = 64
 WARMUP_STEPS = 2
-MEASURE_STEPS = 8
+MEASURE_STEPS = 12
 
 
 def main():

@@ -205,8 +205,10 @@ class DataConfig:
     max_text_length: int = 128
     max_audio_samples: int = 480000  # 30 s at 16 kHz
     corruption_probability: float = 1.0  # reference behavior: every sample corrupted
-    # static-shape audio bucketing (in raw samples); each bucket compiles once
-    audio_buckets: Tuple[int, ...] = (48000, 96000, 160000, 240000, 480000)
+    # static-shape audio bucketing (in raw samples); each bucket compiles once.
+    # Defaults chosen so the stacked feature length T = (1+(N-400)/160)/2 is a
+    # multiple of 128 (MXU-aligned): T = 128/256/512/768/1536.
+    audio_buckets: Tuple[int, ...] = (41200, 82160, 164080, 246000, 491760)
     batch_size: int = 16
     shuffle_seed: int = 42
     num_synthetic_samples: int = 256  # for the synthetic source

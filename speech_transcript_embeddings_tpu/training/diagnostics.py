@@ -10,7 +10,7 @@ per-microbatch gradients equals the gradient of the concatenated batch (what
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ compiled code; there is no GradScaler because bf16 on TPU needs no loss scaling.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
