@@ -32,6 +32,8 @@ def _replace_from_dict(obj, d: dict):
         cur = getattr(obj, k)
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
             updates[k] = _replace_from_dict(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, list):
+            updates[k] = tuple(v)   # JSON has no tuples
         else:
             updates[k] = v
     return dataclasses.replace(obj, **updates)

@@ -1,0 +1,87 @@
+"""Mesh/sharding rules, config override parsing, artifact helpers."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import PartitionSpec as P
+
+from speech_transcript_embeddings_tpu import config as config_lib
+from speech_transcript_embeddings_tpu.config import ExperimentConfig, MeshConfig
+from speech_transcript_embeddings_tpu.parallel import mesh as mesh_lib
+from speech_transcript_embeddings_tpu.utils import artifacts
+
+
+def test_make_mesh_shapes():
+    m = mesh_lib.make_mesh(MeshConfig(num_model=2), jax.devices()[:8])
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 4, "model": 2}
+    m1 = mesh_lib.make_mesh(MeshConfig(), jax.devices()[:1])
+    assert m1.size == 1
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(MeshConfig(num_model=3), jax.devices()[:8])
+
+
+def test_param_spec_rules():
+    spec = mesh_lib._spec_for
+    assert spec("text_encoder/layer_0/attention/query/kernel", "model") == P(None, "model")
+    assert spec("text_encoder/layer_0/attention/out/kernel", "model") == P("model", None)
+    assert spec("audio_encoder/layer_3/ffn1/intermediate/kernel", "model") == P(None, "model")
+    assert spec("audio_encoder/layer_3/ffn1/output/kernel", "model") == P("model", None)
+    assert spec("audio_encoder/layer_3/conv/pointwise1/kernel", "model") == P(None, "model")
+    assert spec("audio_encoder/layer_3/conv/depthwise_kernel", "model") == P(None, None, "model")
+    assert spec("text_encoder/embeddings/word_embeddings/embedding", "model") == P("model", None)
+    # everything else replicated
+    assert spec("text_encoder/layer_0/norm/scale", "model") == P()
+    assert spec("audio_encoder/layer_3/attention/distance_embedding", "model") == P()
+
+
+def test_config_override_parsing():
+    o = config_lib.parse_overrides(
+        ["train.num_epochs=7", "loss.kind=global", "data.audio_buckets=[16000, 48000]",
+         "model.frontend.use_pallas=true"])
+    cfg = ExperimentConfig().with_overrides(o)
+    assert cfg.train.num_epochs == 7
+    assert cfg.loss.kind == "global"
+    assert tuple(cfg.data.audio_buckets) == (16000, 48000)
+    assert cfg.model.frontend.use_pallas is True
+
+
+def test_config_override_rejects_unknown():
+    with pytest.raises(ValueError):
+        ExperimentConfig().with_overrides({"train": {"bogus": 1}})
+
+
+def test_config_json_roundtrip():
+    cfg = ExperimentConfig().with_overrides({"loss": {"temperature": 0.07}})
+    back = ExperimentConfig.from_json(cfg.to_json())
+    assert back == cfg
+
+
+def test_eval_metrics_dict_keys_and_values():
+    m = artifacts.eval_metrics_dict(0.5, [0.9, 0.7], [0.2, 0.4])
+    assert m["loss"] == 0.5
+    np.testing.assert_allclose(m["clean_similarity"], 0.8)
+    np.testing.assert_allclose(m["corrupt_similarity"], 0.3)
+    np.testing.assert_allclose(m["similarity_gap"], 0.5)
+    assert set(m) == {"loss", "avg_similarity", "median_similarity",
+                      "std_similarity", "clean_similarity", "corrupt_similarity",
+                      "similarity_gap"}
+
+
+def test_write_test_metrics(tmp_path):
+    path = artifacts.write_test_metrics(str(tmp_path), {
+        "best_loss_model": artifacts.eval_metrics_dict(0.1, [0.5], [0.2])})
+    with open(path) as f:
+        data = json.load(f)
+    assert "best_loss_model" in data
+
+
+def test_plots_written(tmp_path):
+    p1 = artifacts.plot_similarity_distributions(
+        np.random.rand(50), np.random.rand(50), str(tmp_path / "dist.png"))
+    p2 = artifacts.plot_progress([0.1, 0.2], [0.05, 0.06],
+                                 str(tmp_path / "prog.png"))
+    for p in (p1, p2):
+        assert p is not None and os.path.exists(p) and os.path.getsize(p) > 0
