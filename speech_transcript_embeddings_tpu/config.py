@@ -58,6 +58,8 @@ class TextEncoderConfig:
     layer_norm_eps: float = 1e-5
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
+    # fold the bottom N blocks into one lax.scan (see AudioEncoderConfig)
+    scan_bottom: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -93,6 +95,10 @@ class AudioEncoderConfig:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     mask_time_min_masks: int = 2
+    # fold the bottom N homogeneous blocks into one lax.scan (stacked params):
+    # several-fold faster tracing/compilation of the 24-block stack. Set to the
+    # frozen-layer count (num_layers - layers_to_unfreeze); 0 = fully unrolled.
+    scan_bottom: int = 0
 
     @property
     def head_dim(self) -> int:

@@ -208,7 +208,43 @@ class AudioEncoder(nn.Module):
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
         block_cls = (nn.remat(ConformerBlock, static_argnums=(3,))
                      if self.remat else ConformerBlock)
-        for i in range(c.num_layers):
+        if c.scan_bottom:
+            if not 0 < c.scan_bottom <= c.num_layers:
+                raise ValueError(f"scan_bottom {c.scan_bottom} out of range")
+            x = scan_block_stack(block_cls, c, self.dtype, c.scan_bottom,
+                                 name="bottom_stack")(
+                x, attention_mask, deterministic)
+        for i in range(c.scan_bottom, c.num_layers):
             x = block_cls(c, self.dtype, name=f"layer_{i}")(
                 x, attention_mask, deterministic)
         return x
+
+
+def scan_block_stack(block_cls, cfg, dtype, length: int, name: str):
+    """A stack of ``length`` homogeneous blocks as one ``nn.scan`` (params
+    stacked on a leading layer axis under ``<name>/scan/block``). Traces and
+    compiles once for the whole stack instead of per block — designed for the
+    frozen bottom of a partially-unfrozen encoder."""
+
+    class _Step(nn.Module):
+        deterministic: bool
+
+        @nn.compact
+        def __call__(self, x, mask):
+            y = block_cls(cfg, dtype, name="block")(x, mask, self.deterministic)
+            return y, None
+
+    class _Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x, mask, deterministic=True):
+            scanned = nn.scan(
+                _Step,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,       # mask is shared by every layer
+                length=length,
+            )(deterministic, name="scan")
+            y, _ = scanned(x, mask)
+            return y
+
+    return _Stack(name=name)

@@ -34,6 +34,13 @@ def _layer_norm(sd: StateDict, prefix: str) -> Dict[str, Array]:
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
+def _stack_layers(layers):
+    """Stack a list of identical layer param trees on a new leading axis
+    (the nn.scan layout)."""
+    import jax
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *layers)
+
+
 def convert_text_encoder(sd: StateDict, cfg: TextEncoderConfig) -> dict:
     """HF {Roberta,XLMRoberta,Bert}Model state dict → TextEncoder params."""
     # some checkpoints carry a "roberta." / "bert." prefix
@@ -51,9 +58,9 @@ def convert_text_encoder(sd: StateDict, cfg: TextEncoderConfig) -> dict:
             "norm": _layer_norm(sd, "embeddings.LayerNorm"),
         }
     }
-    for i in range(cfg.num_layers):
+    def layer_params(i: int) -> dict:
         p = f"encoder.layer.{i}"
-        params[f"layer_{i}"] = {
+        return {
             "attention": {
                 "query": _dense(sd, f"{p}.attention.self.query"),
                 "key": _dense(sd, f"{p}.attention.self.key"),
@@ -65,6 +72,12 @@ def convert_text_encoder(sd: StateDict, cfg: TextEncoderConfig) -> dict:
             "output": _dense(sd, f"{p}.output.dense"),
             "norm": _layer_norm(sd, f"{p}.output.LayerNorm"),
         }
+
+    if cfg.scan_bottom:
+        params["bottom_stack"] = {"scan": {"block": _stack_layers(
+            [layer_params(i) for i in range(cfg.scan_bottom)])}}
+    for i in range(cfg.scan_bottom, cfg.num_layers):
+        params[f"layer_{i}"] = layer_params(i)
     return params
 
 
@@ -80,9 +93,9 @@ def convert_audio_encoder(sd: StateDict, cfg: AudioEncoderConfig) -> dict:
     }
     if "masked_spec_embed" in sd:
         params["masked_spec_embed"] = sd["masked_spec_embed"]
-    for i in range(cfg.num_layers):
+    def layer_params(i: int) -> dict:
         p = f"encoder.layers.{i}"
-        params[f"layer_{i}"] = {
+        return {
             "ffn1_norm": _layer_norm(sd, f"{p}.ffn1_layer_norm"),
             "ffn1": {
                 "intermediate": _dense(sd, f"{p}.ffn1.intermediate_dense"),
@@ -115,6 +128,12 @@ def convert_audio_encoder(sd: StateDict, cfg: AudioEncoderConfig) -> dict:
             },
             "final_norm": _layer_norm(sd, f"{p}.final_layer_norm"),
         }
+
+    if cfg.scan_bottom:
+        params["bottom_stack"] = {"scan": {"block": _stack_layers(
+            [layer_params(i) for i in range(cfg.scan_bottom)])}}
+    for i in range(cfg.scan_bottom, cfg.num_layers):
+        params[f"layer_{i}"] = layer_params(i)
     return params
 
 

@@ -38,8 +38,11 @@ from speech_transcript_embeddings_tpu.models.text_encoder import TextEncoder
 
 
 def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    # rsqrt(sum+eps) instead of /max(norm, eps): same values at unit scale, but
+    # the gradient at an exactly-zero vector is 0 instead of NaN (norm's
+    # backward divides by itself)
     x = x.astype(jnp.float32)
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
 
 class PosNegOutput(NamedTuple):
@@ -223,7 +226,10 @@ def init_params(model: DualEncoderModel, rng: jax.Array, *,
                                     jnp.float32),
         "attention_mask_audio": jnp.ones((batch_size, audio_len), jnp.int32),
     }
-    return jax.jit(lambda r: model.init(r, dummy)["params"])(rng)
+    # scan-wrapped blocks declare a split dropout rng, which flax requires at
+    # init even in deterministic mode — provide both streams
+    return jax.jit(lambda r: model.init(
+        {"params": r, "dropout": jax.random.fold_in(r, 1)}, dummy)["params"])(rng)
 
 
 def _dummy_batch(cfg, batch_size=2, text_len=8, audio_len=6):

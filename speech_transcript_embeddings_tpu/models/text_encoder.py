@@ -115,7 +115,16 @@ class TextEncoder(nn.Module):
         x = TextEmbeddings(c, self.dtype, name="embeddings")(
             input_ids, deterministic=deterministic)
         layer_cls = nn.remat(TextLayer, static_argnums=(3,)) if self.remat else TextLayer
-        for i in range(c.num_layers):
+        if c.scan_bottom:
+            from speech_transcript_embeddings_tpu.models.audio_encoder import (
+                scan_block_stack,
+            )
+            if not 0 < c.scan_bottom <= c.num_layers:
+                raise ValueError(f"scan_bottom {c.scan_bottom} out of range")
+            x = scan_block_stack(layer_cls, c, self.dtype, c.scan_bottom,
+                                 name="bottom_stack")(
+                x, attention_mask, deterministic)
+        for i in range(c.scan_bottom, c.num_layers):
             x = layer_cls(c, self.dtype, name=f"layer_{i}")(
                 x, attention_mask, deterministic)
         return x

@@ -47,9 +47,19 @@ def _label_for(path: str, freeze: FreezeConfig, model: ModelConfig) -> str:
     # partial: freeze bottom blocks only
     if in_text:
         total, keep = model.text.num_layers, freeze.text_layers_to_unfreeze
+        scan_bottom = model.text.scan_bottom
     else:
         total, keep = model.audio.num_layers, freeze.audio_layers_to_unfreeze
+        scan_bottom = model.audio.scan_bottom
     parts = path.split("/")
+    if len(parts) > 1 and parts[1] == "bottom_stack":
+        # the scanned stack is a single stacked-param unit: it must lie entirely
+        # inside the frozen prefix
+        if scan_bottom > max(total - keep, 0):
+            raise ValueError(
+                f"scan_bottom={scan_bottom} overlaps the {keep} unfrozen top "
+                f"layers of a {total}-layer encoder")
+        return FROZEN
     if len(parts) > 1 and parts[1].startswith("layer_"):
         idx = int(parts[1].split("_")[1])
         return FROZEN if idx < total - keep else ENCODER

@@ -143,3 +143,92 @@ def test_spec_augment_config_roundtrip_from_hf(audio_pair):
     cfg = convert.audio_config_from_hf(hf_cfg)
     assert cfg.apply_spec_augment and cfg.mask_time_prob == 0.05
     assert cfg.mask_time_length == 10 and cfg.mask_time_min_masks == 2
+
+
+def test_scan_bottom_parity_audio():
+    """scan_bottom folds the bottom blocks into one lax.scan; outputs must equal
+    the HF reference (and hence the unrolled path) exactly."""
+    import dataclasses
+    from transformers import Wav2Vec2BertConfig, Wav2Vec2BertModel
+    torch.manual_seed(7)
+    hf_cfg = Wav2Vec2BertConfig(
+        feature_projection_input_dim=16, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64, conv_depthwise_kernel_size=7,
+        left_max_position_embeddings=8, right_max_position_embeddings=2,
+        hidden_dropout=0.0, attention_dropout=0.0, conformer_conv_dropout=0.0,
+        activation_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+        mask_time_prob=0.0, mask_feature_prob=0.0, apply_spec_augment=False)
+    hf = Wav2Vec2BertModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = dataclasses.replace(convert.audio_config_from_hf(hf_cfg), scan_bottom=2)
+    params = convert.convert_audio_encoder(sd, cfg)
+    assert "bottom_stack" in params and "layer_2" in params and "layer_0" not in params
+
+    rng = np.random.default_rng(8)
+    feats = rng.normal(size=(2, 15, 16)).astype(np.float32)
+    mask = np.ones((2, 15), np.int32)
+    mask[1, 9:] = 0
+    with torch.no_grad():
+        ref = hf(input_features=torch.tensor(feats),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    got = np.asarray(AudioEncoder(cfg).apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(mask)))
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], ref[valid], rtol=1e-3, atol=3e-4)
+
+
+def test_scan_bottom_parity_text():
+    import dataclasses
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+    torch.manual_seed(9)
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=48, type_vocab_size=1,
+        pad_token_id=1, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    hf = XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    cfg = dataclasses.replace(convert.text_config_from_hf(hf_cfg), scan_bottom=3)
+    params = convert.convert_text_encoder(sd, cfg)
+
+    rng = np.random.default_rng(10)
+    ids = rng.integers(2, 120, size=(2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    got = np.asarray(TextEncoder(cfg).apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=3e-4)
+
+
+def test_scan_bottom_freeze_labels():
+    import dataclasses
+    from speech_transcript_embeddings_tpu.config import (
+        FreezeConfig, tiny_model_config,
+    )
+    from speech_transcript_embeddings_tpu.models.dual_encoder import (
+        DualEncoderModel, init_params,
+    )
+    from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
+    from flax import traverse_util
+
+    base = tiny_model_config()
+    model_cfg = dataclasses.replace(
+        base,
+        text=dataclasses.replace(base.text, scan_bottom=1),
+        audio=dataclasses.replace(base.audio, scan_bottom=1))
+    model = DualEncoderModel(model_cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    fz = FreezeConfig(mode="partial", text_layers_to_unfreeze=1,
+                      audio_layers_to_unfreeze=1)
+    flat = traverse_util.flatten_dict(
+        opt_lib.param_labels(params, fz, model_cfg), sep="/")
+    stack_keys = [k for k in flat if "/bottom_stack/" in k]
+    assert stack_keys and all(flat[k] == "frozen" for k in stack_keys)
+    assert flat["audio_encoder/layer_1/ffn1/intermediate/kernel"] == "encoder"
+    # overlap with unfrozen top layers must be rejected
+    bad = FreezeConfig(mode="partial", text_layers_to_unfreeze=2,
+                       audio_layers_to_unfreeze=2)
+    with pytest.raises(ValueError):
+        opt_lib.param_labels(params, bad, model_cfg)
