@@ -46,8 +46,13 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     asamps = AUDIO_SECONDS * 16000
 
+    import dataclasses
+    m = config_lib.ModelConfig(dtype="bfloat16", remat=True)
+    m = dataclasses.replace(
+        m, text=dataclasses.replace(m.text, scan_bottom=7),
+        audio=dataclasses.replace(m.audio, scan_bottom=19))
     cfg = config_lib.ExperimentConfig(
-        model=config_lib.ModelConfig(dtype="bfloat16", remat=True),
+        model=m,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
                                        audio_layers_to_unfreeze=5),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100),

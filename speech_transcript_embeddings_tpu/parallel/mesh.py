@@ -61,7 +61,11 @@ _RULES: List[Tuple[str, callable]] = [
 def _spec_for(path: str, model_axis: str) -> P:
     for pattern, build in _RULES:
         if re.match(pattern, path):
-            return build(model_axis)
+            spec = build(model_axis)
+            if "/bottom_stack/" in path:
+                # scanned stacks carry a leading layer axis — never sharded
+                spec = P(None, *spec)
+            return spec
     return P()
 
 

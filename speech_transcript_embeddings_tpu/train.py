@@ -41,7 +41,19 @@ def build_config(argv) -> config_lib.ExperimentConfig:
             train=config_lib.TrainConfig(num_epochs=2, accumulation_steps=1,
                                          plot_every=1),
         )
-    elif preset not in (None, "flagship"):
+    elif preset == "flagship":
+        # the reference's best-gap recipe (5+5 unfrozen, mpnet + w2v-bert-2.0
+        # geometry) with the frozen bottoms scanned for fast compilation
+        cfg = config_lib.ExperimentConfig(
+            model=config_lib.ModelConfig(
+                text=config_lib.TextEncoderConfig(scan_bottom=7),
+                audio=config_lib.AudioEncoderConfig(scan_bottom=19),
+            ),
+            freeze=config_lib.FreezeConfig(
+                mode="partial", text_layers_to_unfreeze=5,
+                audio_layers_to_unfreeze=5),
+        )
+    elif preset is not None:
         raise SystemExit(f"Unknown preset {preset!r} (use tiny|flagship)")
     overrides = config_lib.parse_overrides(argv)
     return cfg.with_overrides(overrides)

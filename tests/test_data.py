@@ -103,3 +103,21 @@ def test_pipeline_negatives_differ_from_positives(cfg):
     b = next(iter(pipe.epoch_batches(src, "train", epoch=0)))
     diffs = (b["input_ids_pos"] != b["input_ids_neg"]).any(axis=1)
     assert diffs.mean() >= 0.5
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from speech_transcript_embeddings_tpu.data.pipeline import prefetch
+
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+    assert list(prefetch(iter([]), depth=2)) == []
+    assert list(prefetch(iter(range(5)), depth=0)) == list(range(5))
+
+    def boom():
+        yield 1
+        raise RuntimeError("pipeline exploded")
+
+    out = []
+    with pytest.raises(RuntimeError, match="pipeline exploded"):
+        for x in prefetch(boom(), depth=2):
+            out.append(x)
+    assert out == [1]
