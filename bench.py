@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 BASELINE_CLIPS_PER_SEC = 5.8
-BATCH = 32
+BATCH = 64
 AUDIO_SECONDS = 10
 TEXT_LEN = 64
 WARMUP_STEPS = 2
