@@ -137,6 +137,40 @@ def convert_audio_encoder(sd: StateDict, cfg: AudioEncoderConfig) -> dict:
     return params
 
 
+def restack_encoder_params(params: dict, from_scan: int, to_scan: int,
+                           num_layers: int) -> dict:
+    """Convert one encoder's param tree between scan_bottom layouts.
+
+    Checkpoints are tied to the layout they were trained with; this adapter
+    unstacks ``bottom_stack/scan/block`` back into ``layer_i`` subtrees (or
+    restacks them) so a checkpoint can be loaded under a different
+    ``scan_bottom`` setting.
+    """
+    import jax
+
+    if from_scan == to_scan:
+        return params
+    out = {k: v for k, v in params.items()
+           if k != "bottom_stack" and not k.startswith("layer_")}
+    # explode to per-layer trees
+    layers = {}
+    if from_scan:
+        stacked = params["bottom_stack"]["scan"]["block"]
+        for i in range(from_scan):
+            layers[i] = jax.tree.map(lambda x: np.asarray(x[i]), stacked)
+    for i in range(from_scan, num_layers):
+        layers[i] = params[f"layer_{i}"]
+    # reassemble in the target layout
+    if to_scan:
+        if to_scan > num_layers:
+            raise ValueError(f"to_scan {to_scan} > num_layers {num_layers}")
+        out["bottom_stack"] = {"scan": {"block": _stack_layers(
+            [jax.tree.map(np.asarray, layers[i]) for i in range(to_scan)])}}
+    for i in range(to_scan, num_layers):
+        out[f"layer_{i}"] = layers[i]
+    return out
+
+
 def text_config_from_hf(hf_config) -> TextEncoderConfig:
     return TextEncoderConfig(
         vocab_size=hf_config.vocab_size,

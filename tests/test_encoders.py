@@ -232,3 +232,22 @@ def test_scan_bottom_freeze_labels():
                        audio_layers_to_unfreeze=2)
     with pytest.raises(ValueError):
         opt_lib.param_labels(params, bad, model_cfg)
+
+
+def test_restack_encoder_params_roundtrip(audio_pair):
+    """scan<->unrolled layout adapter: loading a checkpoint under a different
+    scan_bottom must produce identical encoder outputs."""
+    import dataclasses
+    hf, cfg, params = audio_pair          # unrolled (scan_bottom=0), 2 layers
+    scan_cfg = dataclasses.replace(cfg, scan_bottom=1)
+    stacked = convert.restack_encoder_params(params, 0, 1, cfg.num_layers)
+    back = convert.restack_encoder_params(stacked, 1, 0, cfg.num_layers)
+
+    rng = np.random.default_rng(11)
+    feats = rng.normal(size=(1, 12, 16)).astype(np.float32)
+    ref = np.asarray(AudioEncoder(cfg).apply({"params": params}, jnp.asarray(feats)))
+    via_scan = np.asarray(AudioEncoder(scan_cfg).apply(
+        {"params": stacked}, jnp.asarray(feats)))
+    via_back = np.asarray(AudioEncoder(cfg).apply({"params": back}, jnp.asarray(feats)))
+    np.testing.assert_allclose(via_scan, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(via_back, ref, rtol=1e-6, atol=1e-7)
