@@ -116,7 +116,8 @@ class CommonVoiceSource:
 
 class LocalSource:
     """Local dataset: ``<data_dir>/<split>.tsv`` with ``path\tsentence`` rows and
-    16 kHz mono WAV files (decoded with scipy — no librosa/ffmpeg dependency)."""
+    mono WAV files, decoded/resampled by the native C++ audio library (scipy
+    fallback inside data/native_audio.py)."""
 
     def __init__(self, cfg: DataConfig):
         import os
@@ -139,19 +140,12 @@ class LocalSource:
 
     def examples(self, split: str) -> Iterator[Example]:
         import os
-        from scipy.io import wavfile
+        from speech_transcript_embeddings_tpu.data import native_audio
         for rel, sentence in self._rows[split]:
-            sr, wav = wavfile.read(os.path.join(self.root, rel))
-            if wav.dtype.kind == "i":
-                wav = wav.astype(np.float32) / np.iinfo(wav.dtype).max
-            elif wav.dtype.kind == "u":
-                wav = (wav.astype(np.float32) - 128.0) / 128.0
-            else:
-                wav = wav.astype(np.float32)
-            if wav.ndim == 2:
-                wav = wav[:, 0]
+            with open(os.path.join(self.root, rel), "rb") as f:
+                wav, sr = native_audio.decode_wav(f.read())
             if sr != 16000:
-                wav = _resample_linear(wav, sr, 16000)
+                wav = native_audio.resample(wav, sr, 16000)
             yield Example(sentence, wav, 16000)
 
 

@@ -29,16 +29,12 @@ from speech_transcript_embeddings_tpu.inference.embed import Embedder, retrieval
 def _load_audio(path: str) -> np.ndarray:
     if path.startswith("synthetic:"):
         return synth_audio_for_sentence(path.split(":", 1)[1])
-    from scipy.io import wavfile
-    sr, wav = wavfile.read(path)
-    if wav.dtype.kind == "i":
-        wav = wav.astype(np.float32) / np.iinfo(wav.dtype).max
-    if wav.ndim == 2:
-        wav = wav[:, 0]
+    from speech_transcript_embeddings_tpu.data import native_audio
+    with open(path, "rb") as f:
+        wav, sr = native_audio.decode_wav(f.read())
     if sr != 16000:
-        from speech_transcript_embeddings_tpu.data.sources import _resample_linear
-        wav = _resample_linear(wav.astype(np.float32), sr, 16000)
-    return wav.astype(np.float32)
+        wav = native_audio.resample(wav, sr, 16000)
+    return np.asarray(wav, np.float32)
 
 
 def _bar_chart(values, labels, title, path):

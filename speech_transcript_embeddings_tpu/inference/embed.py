@@ -82,12 +82,28 @@ class Embedder:
 
     # ---- public API ----------------------------------------------------------
 
+    @staticmethod
+    def _row_bucket(n: int) -> int:
+        """Pad the batch dimension to a power of two so arbitrary request sizes
+        reuse a small set of compiled programs (serving path)."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        n = len(texts)
         ids, masks = zip(*(self.tokenizer.encode(t, self.cfg.data.max_text_length)
                            for t in texts))
-        out = self._embed_text_jit(self.params, jnp.asarray(np.stack(ids)),
-                                   jnp.asarray(np.stack(masks)))
-        return np.asarray(out)
+        ids = np.stack(ids)
+        masks = np.stack(masks)
+        b = self._row_bucket(n)
+        if b > n:
+            ids = np.concatenate([ids, np.tile(ids[:1], (b - n, 1))])
+            masks = np.concatenate([masks, np.tile(masks[:1], (b - n, 1))])
+        out = self._embed_text_jit(self.params, jnp.asarray(ids),
+                                   jnp.asarray(masks))
+        return np.asarray(out)[:n]
 
     def _pad_audio(self, audios: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
         max_len = self.cfg.data.max_audio_samples
@@ -107,9 +123,14 @@ class Embedder:
         return wav, np.asarray(lens, np.int32)
 
     def embed_audios(self, audios: Sequence[np.ndarray]) -> np.ndarray:
+        n = len(audios)
         wav, lens = self._pad_audio(audios)
+        b = self._row_bucket(n)
+        if b > n:
+            wav = np.concatenate([wav, np.tile(wav[:1], (b - n, 1))])
+            lens = np.concatenate([lens, np.tile(lens[:1], b - n)])
         out = self._embed_audio_jit(self.params, jnp.asarray(wav), jnp.asarray(lens))
-        return np.asarray(out)
+        return np.asarray(out)[:n]
 
     def embed_pair(self, text: str, audio: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
         """Full fused forward (cross-modal attention included), like the

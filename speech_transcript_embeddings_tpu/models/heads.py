@@ -141,7 +141,9 @@ class WordLevelAlignment(nn.Module):
         v = split(nn.Dense(d, dtype=self.dtype, name="attn_v")(audio_proj))
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (head_dim ** 0.5)
         if audio_mask is not None:
-            scores = jnp.where(audio_mask[:, None, None, :] == 0, -jnp.inf, scores)
+            # -1e9, not -inf: a clip short enough to have zero valid audio
+            # frames would make every row all--inf → softmax NaN → poisoned run
+            scores = jnp.where(audio_mask[:, None, None, :] == 0, NEG_INF, scores)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
         probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
         attended = jnp.einsum("bhqk,bkhd->bqhd", probs, v)

@@ -134,8 +134,16 @@ def _frontend_impl(cfg: FrontendConfig, transform: jax.Array, mel: jax.Array,
     num_freq = cfg.fft_length // 2 + 1
 
     logmel = _log_mel_spectrogram(cfg, transform, mel, waveform, num_frames, num_freq)
+    return normalize_and_stack(cfg, logmel, num_samples)
 
-    # masked per-utterance, per-mel-bin normalisation (ddof=1), padding → 0.0
+
+def normalize_and_stack(cfg: FrontendConfig, logmel: jax.Array,
+                        num_samples: jax.Array):
+    """Masked per-utterance, per-mel-bin normalisation (ddof=1, padding → 0.0)
+    followed by stride-frame stacking; the mask is subsampled at the last index
+    of each stride group (HF: indices % stride == stride-1). Shared by the jnp
+    and Pallas frontends."""
+    b, num_frames, _ = logmel.shape
     valid = num_valid_frames(cfg, num_samples)  # [B]
     frame_idx = jnp.arange(num_frames)[None, :]
     frame_mask = (frame_idx < valid[:, None])
@@ -149,7 +157,6 @@ def _frontend_impl(cfg: FrontendConfig, transform: jax.Array, mel: jax.Array,
     else:
         logmel = logmel * frame_mask[..., None]
 
-    # stride-2 stacking; mask subsampled at odd frame indices (HF: indices % 2 == 1)
     t2 = num_frames // cfg.stride
     features = logmel.reshape(b, t2, cfg.num_mel_bins * cfg.stride)
     mask = frame_mask.reshape(b, t2, cfg.stride)[:, :, cfg.stride - 1].astype(jnp.int32)

@@ -156,27 +156,7 @@ class PallasLogMelFrontend(fe.LogMelFrontend):
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def _pallas_frontend_impl(cfg: FrontendConfig, transform, mel, waveform,
                           num_samples, interpret):
+    # pallas_log_mel returns exactly frames_for_samples(cfg, n) frames (already
+    # a stride multiple); normalisation/stacking is shared with the jnp oracle
     logmel = pallas_log_mel(cfg, transform, mel, waveform, interpret)
-    b = waveform.shape[0]
-    num_frames_total = fe.frames_for_samples(cfg, waveform.shape[1])
-    # re-pad frame count to the stride multiple expected by stacking
-    if logmel.shape[1] < num_frames_total:
-        logmel = jnp.pad(
-            logmel, ((0, 0), (0, num_frames_total - logmel.shape[1]), (0, 0)))
-    valid = fe.num_valid_frames(cfg, num_samples)
-    frame_idx = jnp.arange(num_frames_total)[None, :]
-    frame_mask = frame_idx < valid[:, None]
-    if cfg.per_bin_normalize:
-        fmask = frame_mask[..., None].astype(jnp.float32)
-        count = jnp.maximum(valid.astype(jnp.float32), 1.0)[:, None, None]
-        mean = jnp.sum(logmel * fmask, axis=1, keepdims=True) / count
-        centred = (logmel - mean) * fmask
-        var = jnp.sum(centred * centred, axis=1, keepdims=True) / jnp.maximum(
-            count - 1.0, 1.0)
-        logmel = centred * jax.lax.rsqrt(var + 1e-7)
-    else:
-        logmel = logmel * frame_mask[..., None]
-    t2 = num_frames_total // cfg.stride
-    features = logmel.reshape(b, t2, cfg.num_mel_bins * cfg.stride)
-    mask = frame_mask.reshape(b, t2, cfg.stride)[:, :, cfg.stride - 1]
-    return features, mask.astype(jnp.int32)
+    return fe.normalize_and_stack(cfg, logmel, num_samples)

@@ -35,15 +35,29 @@ def _state_to_pytree(state: TrainState) -> Dict[str, Any]:
     }
 
 
+def _atomic_replace(tmp_path: str, path: str) -> None:
+    """Write-to-temp-then-rename so a crash mid-save never destroys the
+    previous checkpoint (the only resume point)."""
+    import shutil
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp_path, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def save_checkpoint(path: str, state: TrainState, cfg: ExperimentConfig,
                     epoch: int, metrics: Optional[dict] = None) -> None:
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    tmp = _state_to_pytree(state)
-    if os.path.exists(path):
+    tmp_path = path + ".tmp"
+    if os.path.exists(tmp_path):
         import shutil
-        shutil.rmtree(path)
-    ckptr.save(os.path.join(path, "state"), tmp)
+        shutil.rmtree(tmp_path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(tmp_path, "state"), _state_to_pytree(state))
     ckptr.wait_until_finished()
     meta = {
         "format_version": FORMAT_VERSION,
@@ -51,8 +65,9 @@ def save_checkpoint(path: str, state: TrainState, cfg: ExperimentConfig,
         "metrics": _jsonable(metrics or {}),
         "config": json.loads(cfg.to_json()),
     }
-    with open(os.path.join(path, "metadata.json"), "w") as f:
+    with open(os.path.join(tmp_path, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
+    _atomic_replace(tmp_path, path)
 
 
 def load_metadata(path: str) -> dict:
@@ -118,11 +133,12 @@ def save_params_checkpoint(path: str, params, cfg: ExperimentConfig,
     """Params-only checkpoint (e.g. converted pretrained encoders + fresh heads),
     used to initialise training via ``TrainConfig.init_checkpoint``."""
     path = os.path.abspath(path)
-    if os.path.exists(path):
+    tmp_path = path + ".tmp"
+    if os.path.exists(tmp_path):
         import shutil
-        shutil.rmtree(path)
+        shutil.rmtree(tmp_path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "params"), {"params": params})
+    ckptr.save(os.path.join(tmp_path, "params"), {"params": params})
     ckptr.wait_until_finished()
     meta = {
         "format_version": FORMAT_VERSION,
@@ -130,8 +146,52 @@ def save_params_checkpoint(path: str, params, cfg: ExperimentConfig,
         "info": _jsonable(info or {}),
         "config": json.loads(cfg.to_json()),
     }
-    with open(os.path.join(path, "metadata.json"), "w") as f:
+    with open(os.path.join(tmp_path, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
+    _atomic_replace(tmp_path, path)
+
+
+def load_params_for_model(path: str, model_cfg) -> dict:
+    """Restore a params-only checkpoint, adapting the encoder scan layout.
+
+    The checkpoint's metadata records the scan_bottom it was saved with (the
+    converter always writes the unrolled layout); if the target model uses a
+    different layout the encoders are restacked via
+    ``models.convert.restack_encoder_params``.
+    """
+    import dataclasses
+
+    from speech_transcript_embeddings_tpu.models.convert import (
+        restack_encoder_params,
+    )
+    from speech_transcript_embeddings_tpu.models.dual_encoder import (
+        DualEncoderModel, init_params,
+    )
+
+    meta = load_metadata(path)
+    saved = ExperimentConfig.from_json(json.dumps(meta["config"])).model
+    saved_scan = (saved.text.scan_bottom, saved.audio.scan_bottom)
+    target_scan = (model_cfg.text.scan_bottom, model_cfg.audio.scan_bottom)
+
+    # abstract target in the SAVED layout (all other dims must match the target)
+    saved_layout_cfg = dataclasses.replace(
+        model_cfg,
+        text=dataclasses.replace(model_cfg.text, scan_bottom=saved_scan[0]),
+        audio=dataclasses.replace(model_cfg.audio, scan_bottom=saved_scan[1]))
+    abstract = jax.eval_shape(
+        lambda: init_params(DualEncoderModel(saved_layout_cfg),
+                            jax.random.PRNGKey(0)))
+    params = restore_params_checkpoint(path, abstract)
+    if saved_scan == target_scan:
+        return params
+    params = dict(params)
+    params["text_encoder"] = restack_encoder_params(
+        jax.tree.map(np.asarray, params["text_encoder"]),
+        saved_scan[0], target_scan[0], model_cfg.text.num_layers)
+    params["audio_encoder"] = restack_encoder_params(
+        jax.tree.map(np.asarray, params["audio_encoder"]),
+        saved_scan[1], target_scan[1], model_cfg.audio.num_layers)
+    return params
 
 
 def restore_params_checkpoint(path: str, abstract_params):

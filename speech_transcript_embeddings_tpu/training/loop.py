@@ -55,13 +55,11 @@ def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
              logger, place_batch=lambda b: b
              ) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
     """→ (metrics dict, raw clean cosines, raw corrupt cosines)."""
-    loss_sum = clean_sum = corrupt_sum = count = 0.0
+    loss_sum = count = 0.0
     s_pos_all, s_neg_all = [], []
     for batch in pipeline.epoch_batches(source, split, epoch):
         out = eval_step(state.trainable, state.frozen, place_batch(batch))
         loss_sum += float(out["loss_sum"])
-        clean_sum += float(out["clean_hr_sum"])
-        corrupt_sum += float(out["corrupt_hr_sum"])
         count += float(out["count"])
         m = np.asarray(out["example_mask"]).astype(bool)
         s_pos_all.append(np.asarray(out["s_pos"])[m])
@@ -163,8 +161,8 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     params = init_params(model, jax.random.PRNGKey(cfg.train.seed))
     if cfg.train.init_checkpoint:
         logger.info(f"Initializing params from {cfg.train.init_checkpoint}")
-        params = ckpt_lib.restore_params_checkpoint(
-            cfg.train.init_checkpoint, params)
+        params = ckpt_lib.load_params_for_model(
+            cfg.train.init_checkpoint, cfg.model)
     labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
 
     n_param = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -226,12 +224,25 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         else (lambda b: b)
 
     start_epoch = 1
+    best_val_loss = float("inf")
+    best_gap = 0.0
     latest_path = os.path.join(out_dir, "latest")
     if cfg.train.resume and ckpt_lib.checkpoint_exists(latest_path):
         meta = ckpt_lib.load_metadata(latest_path)
         state = place_state(ckpt_lib.restore_checkpoint(latest_path, state))
         start_epoch = meta["epoch"] + 1
         logger.info(f"Resumed from {latest_path} at epoch {meta['epoch']}")
+        # recover the best-so-far trackers, else the first post-resume epoch
+        # would overwrite the best checkpoints with a worse model
+        for kind in ("best_model_loss", "best_model_gap"):
+            p = os.path.join(out_dir, kind)
+            if ckpt_lib.checkpoint_exists(p):
+                vm = ckpt_lib.load_metadata(p).get("metrics", {}).get(
+                    "val_metrics", {})
+                if kind == "best_model_loss" and "loss" in vm:
+                    best_val_loss = float(vm["loss"])
+                elif kind == "best_model_gap" and "similarity_gap" in vm:
+                    best_gap = float(vm["similarity_gap"])
 
     if cfg.train.validate_gradients and cfg.train.accumulation_steps > 1:
         from speech_transcript_embeddings_tpu.training import diagnostics
@@ -245,8 +256,6 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         diagnostics.validate_gradient_accumulation(cfg, model, frontend, state,
                                                    probe)
 
-    best_val_loss = float("inf")
-    best_gap = 0.0
     clean_history, corrupt_history = [], []
     rng = jax.random.PRNGKey(cfg.train.seed + 17)
     results: dict = {}

@@ -122,11 +122,11 @@ def make_eval_step(cfg: ExperimentConfig, model: DualEncoderModel,
             s_neg=jnp.sum(out.audio * out.text_neg, -1))
         per = _per_sample_eval_loss(cfg.loss, aux, out.alignment_scores)
         m = batch["example_mask"]
-        t = cfg.loss.temperature
+        # similarity metrics are computed host-side from the raw cosines (the
+        # human-readable sigmoid is cheap there and needs the full arrays for
+        # median/std anyway)
         return {
             "loss_sum": jnp.sum(per * m),
-            "clean_hr_sum": jnp.sum(losses.to_human_readable(aux.s_pos, t) * m),
-            "corrupt_hr_sum": jnp.sum(losses.to_human_readable(aux.s_neg, t) * m),
             "count": jnp.sum(m),
             "s_pos": aux.s_pos,
             "s_neg": aux.s_neg,

@@ -136,3 +136,29 @@ def test_init_checkpoint_feeds_training(converted, tmp_path):
     key = "text_encoder/layer_0/attention/query/kernel"
     np.testing.assert_array_equal(np.asarray(state.frozen[key]),
                                   np.asarray(conv_flat[key]))
+
+
+def test_init_checkpoint_adapts_scan_layout(converted, tmp_path):
+    """A converted (unrolled) checkpoint must load into a scan_bottom model."""
+    import dataclasses
+    path, conv_cfg, params = converted
+    mc = conv_cfg.model
+    scan_mc = dataclasses.replace(
+        mc, text=dataclasses.replace(mc.text, scan_bottom=1),
+        audio=dataclasses.replace(mc.audio, scan_bottom=1))
+    loaded = ckpt_lib.load_params_for_model(path, scan_mc)
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(loaded, sep="/")
+    assert "text_encoder/bottom_stack/scan/block/attention/query/kernel" in flat
+    # stacked layer 0 == original layer_0
+    orig = traverse_util.flatten_dict(params, sep="/")
+    np.testing.assert_array_equal(
+        np.asarray(flat["audio_encoder/bottom_stack/scan/block/ffn1/intermediate/kernel"])[0],
+        np.asarray(orig["audio_encoder/layer_0/ffn1/intermediate/kernel"]))
+    # and the whole tree matches the scan model's structure
+    from speech_transcript_embeddings_tpu.models.dual_encoder import (
+        DualEncoderModel, init_params,
+    )
+    target = init_params(DualEncoderModel(scan_mc), jax.random.PRNGKey(0))
+    t_flat = traverse_util.flatten_dict(target, sep="/")
+    assert set(flat) == set(t_flat)

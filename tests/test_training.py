@@ -174,10 +174,13 @@ def test_eval_step_masks_padding(setup):
     out = eval_step(state.trainable, state.frozen, batch_masked)
     assert float(out["count"]) == 2.0
     full = eval_step(state.trainable, state.frozen, batch)
-    per_clean = np.asarray(
-        1 / (1 + np.exp(-np.asarray(full["s_pos"]) / cfg.loss.temperature)))
-    np.testing.assert_allclose(float(out["clean_hr_sum"]),
-                               per_clean[:2].sum(), rtol=1e-5)
+    # masked loss sum == per-sample losses of the kept rows only
+    np.testing.assert_allclose(
+        float(out["loss_sum"]) + float(
+            eval_step(state.trainable, state.frozen, {
+                **batch, "example_mask": np.array([0, 0, 1, 1], np.float32),
+            })["loss_sum"]),
+        float(full["loss_sum"]), rtol=1e-5)
 
 
 def test_data_parallel_step_matches_single_device(setup):
