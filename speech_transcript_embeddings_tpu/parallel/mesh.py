@@ -89,6 +89,44 @@ def flat_param_shardings(mesh: Mesh, flat_params: dict,
     return {k: NamedSharding(mesh, _spec_for(k, model_axis)) for k in flat_params}
 
 
+def opt_state_shardings(mesh: Mesh, opt_state, trainable: dict,
+                        model_axis: str = "model"):
+    """Shardings for an optax opt-state tree: leaves that live under a
+    parameter's flat-path key with the parameter's shape (Adam mu/nu, MultiSteps
+    gradient accumulators) follow that parameter's sharding; everything else
+    (step counts, schedule state) is replicated.
+
+    TP without this is TP in name only: the moments are param-sized, so
+    replicating them forfeits the HBM saving of sharding the params.
+    """
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    flat_sh = flat_param_shardings(mesh, trainable, model_axis)
+    shapes = {k: tuple(v.shape) for k, v in trainable.items()}
+    rep = NamedSharding(mesh, P())
+
+    def leaf_sharding(path, leaf):
+        if hasattr(leaf, "shape"):
+            for entry in reversed(path):
+                if isinstance(entry, DictKey) and entry.key in shapes:
+                    if tuple(leaf.shape) == shapes[entry.key]:
+                        return flat_sh[entry.key]
+                    break
+        return rep
+
+    return tree_map_with_path(leaf_sharding, opt_state)
+
+
+def place_opt_state(mesh: Mesh, opt_state, trainable: dict,
+                    model_axis: str = "model"):
+    """device_put the opt-state with per-parameter shardings (see
+    ``opt_state_shardings``); non-array leaves pass through untouched."""
+    shardings = opt_state_shardings(mesh, opt_state, trainable, model_axis)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, s) if hasattr(a, "shape") else a,
+        opt_state, shardings)
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Batch arrays: shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(data_axis))

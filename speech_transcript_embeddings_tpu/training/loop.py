@@ -211,9 +211,8 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
                 s.trainable, mesh_lib.flat_param_shardings(mesh, s.trainable)),
             frozen=jax.device_put(
                 s.frozen, mesh_lib.flat_param_shardings(mesh, s.frozen)),
-            opt_state=jax.tree.map(
-                lambda a: jax.device_put(a, rep) if hasattr(a, "shape") else a,
-                s.opt_state),
+            # optimizer moments / accumulators follow their parameters' shardings
+            opt_state=mesh_lib.place_opt_state(mesh, s.opt_state, s.trainable),
             step=jax.device_put(s.step, rep),
         )
 
