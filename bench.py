@@ -5,7 +5,7 @@ Measures warm-step clips/sec/chip of the full jitted training step — on-device
 log-mel frontend + dual-encoder forward (w2v-bert-2.0 conformer 24×1024 + mpnet
 12×768 geometry) + pairwise contrastive loss + backward over the partially
 unfrozen split (5+5 top layers, reference best-gap recipe) + AdamW update — on
-10-second audio clips, batch 16, bf16 compute.
+10-second audio clips, batch 64, bf16 compute.
 
 Baseline: the reference trains ≈5.8 clips/s on a 32 GiB V100-class GPU in fp32
 (BASELINE.md, correct_encoder run, epoch-1 train-only wall time).

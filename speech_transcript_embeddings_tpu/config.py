@@ -99,6 +99,10 @@ class AudioEncoderConfig:
     # several-fold faster tracing/compilation of the 24-block stack. Set to the
     # frozen-layer count (num_layers - layers_to_unfreeze); 0 = fully unrolled.
     scan_bottom: int = 0
+    # fused Pallas flash attention with the in-tile banded relative_key bias
+    # (ops/flash_attention.py); falls back to the XLA path when attention
+    # dropout is active in train mode. Auto-interprets off-TPU.
+    use_flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -24,6 +24,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from speech_transcript_embeddings_tpu.config import DataConfig
+from speech_transcript_embeddings_tpu.data import native_audio
 from speech_transcript_embeddings_tpu.data.corruption import create_corrupted_transcript
 from speech_transcript_embeddings_tpu.data.sources import Example
 from speech_transcript_embeddings_tpu.data.tokenizers import Tokenizer
@@ -49,9 +50,7 @@ class DataPipeline:
         audio = ex.audio
         if len(audio) > self.cfg.max_audio_samples:
             audio = audio[: self.cfg.max_audio_samples]
-        peak = np.abs(audio).max() if len(audio) else 0.0
-        if peak > 1.0:
-            audio = audio / peak
+        # peak normalisation happens batched in _emit (native pad_batch)
         corrupt = create_corrupted_transcript(ex.sentence, rng,
                                               corruption_probability)
         ids_pos, mask_pos = self.tokenizer.encode(ex.sentence,
@@ -74,12 +73,11 @@ class DataPipeline:
             if not pad_to_full:
                 return None
             items = items + [items[0]] * (b - n_real)
-        waveform = np.zeros((b, bucket_len), np.float32)
-        num_samples = np.zeros(b, np.int32)
-        for i, it in enumerate(items):
-            n = min(len(it["audio"]), bucket_len)
-            waveform[i, :n] = it["audio"][:n]
-            num_samples[i] = n
+        # batched peak-normalise (|x|>1 only, reference processor.py:91-92) +
+        # truncate + zero-pad in the native C++ library (threaded; Python
+        # fallback inside pad_batch when no compiler is available)
+        waveform, num_samples = native_audio.pad_batch(
+            [it["audio"] for it in items], bucket_len)
         batch = {
             "waveform": waveform,
             "num_samples": num_samples,
@@ -121,7 +119,7 @@ class DataPipeline:
             blen = self._bucket_for(len(item["audio"]))
             pending[blen].append(item)
             if len(pending[blen]) == self.cfg.batch_size:
-                yield self._emit(pending[blen], blen, pad_to_full=False) or {}
+                yield self._emit(pending[blen], blen, pad_to_full=False)
                 pending[blen] = []
         if not drop_last:
             for blen, items in pending.items():

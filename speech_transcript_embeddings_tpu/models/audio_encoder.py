@@ -41,20 +41,34 @@ def swish(x):
 def _spec_augment_time(x, masked_embed, attention_mask, cfg, rng):
     """SpecAugment time masking with static shapes.
 
-    Samples ``max(round(prob·T/len), min_masks)`` spans of ``mask_time_length``
-    frames per utterance (uniform starts, overlap allowed — the statistics of
-    HF's sampler with a fixed span count) and replaces them with the learned
-    mask embedding. Only valid (unpadded) positions are masked.
+    Per utterance, samples ``max(round(prob·valid/len), min_masks)`` spans of
+    ``mask_time_length`` frames — the span *count* follows the per-utterance
+    valid length and span *starts* land inside the valid region, matching HF's
+    sampler statistics (``_compute_mask_indices`` draws from the real input
+    length, so short clips in long buckets are not over-masked). Shapes stay
+    static by drawing ``S_max`` candidate starts and enabling only the first
+    ``k(valid)`` of them. Only valid (unpadded) positions are masked.
     """
     b, t, _ = x.shape
     length = cfg.mask_time_length
-    n_spans = max(int(round(cfg.mask_time_prob * t / length)),
-                  cfg.mask_time_min_masks)
     if t <= length:
         return x
-    starts = jax.random.randint(rng, (b, n_spans), 0, t - length)   # [B, S]
+    s_max = max(int(round(cfg.mask_time_prob * t / length)),
+                cfg.mask_time_min_masks)
+    if attention_mask is not None:
+        valid = jnp.sum(attention_mask > 0, axis=-1)                # [B]
+    else:
+        valid = jnp.full((b,), t, jnp.int32)
+    k = jnp.maximum(
+        jnp.round(cfg.mask_time_prob * valid / length).astype(jnp.int32),
+        cfg.mask_time_min_masks)                                    # [B]
+    u = jax.random.uniform(rng, (b, s_max))
+    max_start = jnp.maximum(valid - length, 1).astype(jnp.float32)  # [B]
+    starts = jnp.floor(u * max_start[:, None]).astype(jnp.int32)    # [B, S]
+    span_on = jnp.arange(s_max)[None, :] < k[:, None]               # [B, S]
     pos = jnp.arange(t)[None, None, :]                              # [1, 1, T]
-    in_span = (pos >= starts[..., None]) & (pos < starts[..., None] + length)
+    in_span = ((pos >= starts[..., None]) & (pos < starts[..., None] + length)
+               & span_on[..., None])
     mask = jnp.any(in_span, axis=1)                                 # [B, T]
     if attention_mask is not None:
         mask = mask & (attention_mask > 0)
@@ -99,16 +113,34 @@ class RelPositionAttention(nn.Module):
         k = split(nn.Dense(h, dtype=self.dtype, name="key")(x))
         v = split(nn.Dense(h, dtype=self.dtype, name="value")(x))
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-
         num_pos = c.left_max_rel_pos + c.right_max_rel_pos + 1
         dist_emb = self.param(
             "distance_embedding", nn.initializers.normal(0.02), (num_pos, hd),
             jnp.float32)
-        # Shaw-style bias via the gathered [Tq, Tk, hd] distance table, exactly
-        # as HF computes it. Measured fastest of three formulations on v5e
-        # (vs contract-then-gather: 200x slower — XLA scalar gather; vs
-        # contract-then-skew pad/reshape: 1.8x slower — relayout copies).
+
+        # fused Pallas path: streams k/v tiles through VMEM with the banded
+        # rel bias computed in-tile — no [B,h,T,T] score matrix in HBM. Probs
+        # dropout cannot run inside the kernel, so fall back when it is active.
+        if c.use_flash_attention and (deterministic or c.attention_dropout == 0):
+            from speech_transcript_embeddings_tpu.ops.flash_attention import (
+                flash_attention,
+            )
+            b = x.shape[0]
+            fold = lambda a: a.transpose(0, 2, 1, 3).reshape(b * nh, t, hd)
+            kv_mask = (mask if mask is not None
+                       else jnp.ones((b, t), jnp.float32))
+            out = flash_attention(
+                fold(q), fold(k), fold(v), dist_emb.astype(q.dtype), kv_mask,
+                num_heads=nh, left_max=c.left_max_rel_pos,
+                interpret=jax.default_backend() != "tpu")
+            out = out.reshape(b, nh, t, hd).transpose(0, 2, 1, 3).reshape(x.shape)
+            return nn.Dense(h, dtype=self.dtype, name="out")(out)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        # XLA path: Shaw-style bias via the gathered [Tq, Tk, hd] distance
+        # table, exactly as HF computes it. Measured fastest of three XLA
+        # formulations on v5e (vs contract-then-gather: 200x slower — scalar
+        # gather; vs contract-then-skew pad/reshape: 1.8x slower — relayouts).
         pos = jnp.arange(t)
         distance = jnp.clip(pos[None, :] - pos[:, None],
                             -c.left_max_rel_pos, c.right_max_rel_pos)

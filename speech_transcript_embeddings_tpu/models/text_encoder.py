@@ -12,9 +12,10 @@ Semantics matched to the HF torch implementation:
   * post-LayerNorm blocks, erf-GELU FFN, additive -inf-style attention mask,
   * LayerNorm eps 1e-5.
 
-TPU-first choices: one ``lax.scan``-free stack of layers (unrolled, so XLA can
-pipeline and fuse; depth ≤ 24), optional per-block rematerialisation, bf16 compute
-with f32 params and f32 softmax.
+TPU-first choices: the frozen bottom of the stack can run as one ``nn.scan``
+(``cfg.scan_bottom`` — traces/compiles once for the whole prefix) with the
+unfrozen top layers unrolled so XLA can pipeline and fuse them; optional
+per-block rematerialisation, bf16 compute with f32 params and f32 softmax.
 """
 
 from __future__ import annotations

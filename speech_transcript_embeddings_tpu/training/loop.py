@@ -22,6 +22,7 @@ import time
 from typing import Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from speech_transcript_embeddings_tpu.config import ExperimentConfig
@@ -44,6 +45,15 @@ from speech_transcript_embeddings_tpu.training.train_step import (
 from speech_transcript_embeddings_tpu.utils import artifacts
 
 
+@jax.jit
+def _metrics_add(acc, metrics):
+    """Device-side metric accumulation: keeps per-step metrics on device so the
+    batch loop never blocks on a host transfer (the reference synced every batch
+    via ``.cpu()`` similarity tracking, trainer_unfreeze.py:1123-1124; round 1
+    reproduced that with a per-batch ``float()``)."""
+    return jax.tree.map(jnp.add, acc, metrics)
+
+
 def default_tokenizer(cfg: ExperimentConfig):
     if cfg.data.dataset == "common_voice":
         from speech_transcript_embeddings_tpu.data.tokenizers import HFTokenizer
@@ -55,11 +65,12 @@ def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
              logger, place_batch=lambda b: b
              ) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
     """→ (metrics dict, raw clean cosines, raw corrupt cosines)."""
-    loss_sum = count = 0.0
+    loss_sum = pairwise_sum = count = 0.0
     s_pos_all, s_neg_all = [], []
     for batch in pipeline.epoch_batches(source, split, epoch):
         out = eval_step(state.trainable, state.frozen, place_batch(batch))
         loss_sum += float(out["loss_sum"])
+        pairwise_sum += float(out["pairwise_loss_sum"])
         count += float(out["count"])
         m = np.asarray(out["example_mask"]).astype(bool)
         s_pos_all.append(np.asarray(out["s_pos"])[m])
@@ -76,6 +87,10 @@ def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
     clean_hr = 1.0 / (1.0 + np.exp(-s_pos / t))
     corrupt_hr = 1.0 / (1.0 + np.exp(-s_neg / t))
     metrics = artifacts.eval_metrics_dict(loss_sum / count, clean_hr, corrupt_hr)
+    if cfg.loss.kind == "global":
+        # 'loss' is the training objective (masked in-batch InfoNCE); keep the
+        # pairwise per-sample metric alongside for cross-run comparability
+        metrics["pairwise_loss"] = pairwise_sum / count
     logger.info(f"{split} metrics:")
     logger.info(f"  Loss: {metrics['loss']:.4f}")
     logger.info(f"  Average similarity: {metrics['avg_similarity']:.4f}")
@@ -262,7 +277,7 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
       try:
         t0 = time.time()
-        loss_sum = clean_sum = corrupt_sum = 0.0
+        acc = None          # device-side metric sums; fetched at log points only
         n_batches = 0
         from speech_transcript_embeddings_tpu.data.pipeline import prefetch
         batches = prefetch(pipeline.epoch_batches(source, "train", epoch),
@@ -275,30 +290,32 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
                 profiling = True
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, place_batch(batch), sub)
+            acc = metrics if acc is None else _metrics_add(acc, metrics)
             if profiling and n_batches >= 2 + cfg.train.profile_steps:
-                jax.block_until_ready(metrics["loss"])
+                jax.block_until_ready(acc["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info(f"Profiler trace written to {cfg.train.profile_dir}")
-            loss_sum += float(metrics["loss"])
-            clean_sum += float(metrics["clean_hr"])
-            corrupt_sum += float(metrics["corrupt_hr"])
             n_batches += 1
             if n_batches % cfg.train.log_every_batches == 0:
+                # the only host sync in the batch loop: one fetch per log window
+                a = {k: float(v) for k, v in acc.items()}
                 logger.info(
                     f"Epoch {epoch} batch {n_batches}: "
-                    f"loss={loss_sum / n_batches:.4f} "
-                    f"clean={clean_sum / n_batches:.3f} "
-                    f"corrupt={corrupt_sum / n_batches:.3f} "
-                    f"gap={(clean_sum - corrupt_sum) / n_batches:.3f}")
+                    f"loss={a['loss'] / n_batches:.4f} "
+                    f"clean={a['clean_hr'] / n_batches:.3f} "
+                    f"corrupt={a['corrupt_hr'] / n_batches:.3f} "
+                    f"gap={(a['clean_hr'] - a['corrupt_hr']) / n_batches:.3f}")
         if profiling:
             jax.profiler.stop_trace()
         n = max(n_batches, 1)
+        a = ({k: float(v) for k, v in acc.items()} if acc is not None
+             else {"loss": 0.0, "clean_hr": 0.0, "corrupt_hr": 0.0})
         train_metrics = {
-            "loss": loss_sum / n,
-            "clean_similarity": clean_sum / n,
-            "corrupt_similarity": corrupt_sum / n,
-            "similarity_gap": (clean_sum - corrupt_sum) / n,
+            "loss": a["loss"] / n,
+            "clean_similarity": a["clean_hr"] / n,
+            "corrupt_similarity": a["corrupt_hr"] / n,
+            "similarity_gap": (a["clean_hr"] - a["corrupt_hr"]) / n,
         }
         train_time = time.time() - t0
         clips_per_sec = n_batches * cfg.data.batch_size / max(train_time, 1e-9)
@@ -321,7 +338,10 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
             f"({clips_per_sec:.2f} clips/s train)")
 
         meta = {"train_metrics": train_metrics, "val_metrics": val_metrics,
-                "clips_per_sec": clips_per_sec}
+                "clips_per_sec": clips_per_sec,
+                # best-loss selection uses the training objective: val_metrics
+                # 'loss' is the masked in-batch InfoNCE when kind='global'
+                "best_loss_objective": cfg.loss.kind}
         ckpt_lib.save_checkpoint(latest_path, state, cfg, epoch, meta)
         if val_metrics["loss"] < best_val_loss:
             best_val_loss = val_metrics["loss"]

@@ -107,9 +107,12 @@ def make_eval_step(cfg: ExperimentConfig, model: DualEncoderModel,
                    frontend: LogMelFrontend):
     """→ jitted (params-like state, host_batch) → per-batch sums + raw cosines.
 
-    Always scores with the pairwise per-sample loss (the reference evaluates with
-    its training loss; for kind='global' this is the per-sample metric that stays
-    well-defined under masked eval tails).
+    ``loss_sum`` is the *training objective* (the reference evaluates with its
+    training loss, trainer_unfreeze.py:1202-1213): the pairwise per-sample CE
+    for kind='pairwise', and the masked in-batch InfoNCE (padded candidate
+    columns removed) for kind='global' — so best-loss checkpoint selection
+    optimises the quantity training optimises. ``pairwise_loss_sum`` carries the
+    per-sample pairwise metric in both modes for cross-run comparability.
     """
 
     @jax.jit
@@ -120,13 +123,20 @@ def make_eval_step(cfg: ExperimentConfig, model: DualEncoderModel,
         aux = losses.LossAux(
             s_pos=jnp.sum(out.audio * out.text_pos, -1),
             s_neg=jnp.sum(out.audio * out.text_neg, -1))
-        per = _per_sample_eval_loss(cfg.loss, aux, out.alignment_scores)
+        per_pair = _per_sample_eval_loss(cfg.loss, aux, out.alignment_scores)
         m = batch["example_mask"]
+        if cfg.loss.kind == "global":
+            per_obj = losses.global_per_sample_masked(
+                cfg.loss, out.text_pos, out.text_neg, out.audio, m,
+                out.alignment_scores)
+        else:
+            per_obj = per_pair
         # similarity metrics are computed host-side from the raw cosines (the
         # human-readable sigmoid is cheap there and needs the full arrays for
         # median/std anyway)
         return {
-            "loss_sum": jnp.sum(per * m),
+            "loss_sum": jnp.sum(per_obj * m),
+            "pairwise_loss_sum": jnp.sum(per_pair * m),
             "count": jnp.sum(m),
             "s_pos": aux.s_pos,
             "s_neg": aux.s_neg,

@@ -137,6 +137,36 @@ def test_spec_augment_masks_in_training_mode():
     assert (out[~masked] == 1.0).all()       # unmasked frames unchanged
 
 
+def test_spec_augment_span_count_follows_valid_length():
+    """The span count derives from the per-utterance valid length (HF samples
+    from the real input length): a short clip in a long bucket must get fewer
+    masked frames than a full-length one, and all starts land in-valid."""
+    import jax
+    import jax.numpy as jnp
+    from speech_transcript_embeddings_tpu.config import AudioEncoderConfig
+    from speech_transcript_embeddings_tpu.models.audio_encoder import _spec_augment_time
+
+    cfg = AudioEncoderConfig(
+        feature_dim=8, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, conv_kernel_size=7, apply_spec_augment=True,
+        mask_time_prob=0.4, mask_time_length=4, mask_time_min_masks=1)
+    t = 80
+    x = jnp.ones((2, t, 16))
+    emb = jnp.full((16,), -5.0)
+    mask = jnp.ones((2, t), jnp.int32).at[1, 20:].set(0)
+    counts = []
+    for seed in range(8):
+        out = np.asarray(_spec_augment_time(x, emb, mask, cfg,
+                                            jax.random.PRNGKey(seed)))
+        masked = (out[..., 0] == -5.0)
+        assert not masked[1, 20:].any()
+        # row 1: k = round(0.4*20/4) = 2 spans of 4 → at most 8 masked frames
+        assert masked[1].sum() <= 8
+        counts.append((masked[0].sum(), masked[1].sum()))
+    # row 0 has k = 8 spans: over seeds it must mask strictly more than row 1
+    assert sum(c0 for c0, _ in counts) > sum(c1 for _, c1 in counts)
+
+
 def test_spec_augment_config_roundtrip_from_hf(audio_pair):
     from transformers import Wav2Vec2BertConfig
     hf_cfg = Wav2Vec2BertConfig()   # defaults model facebook/w2v-bert-2.0

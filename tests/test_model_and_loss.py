@@ -117,8 +117,11 @@ def test_global_loss_single_device_reference():
     np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
 
 
-def test_global_loss_sharded_matches_single_device():
-    """shard_map over the 8-CPU mesh must give the identical global loss."""
+@pytest.mark.parametrize("n_shards", [4, 8])
+def test_global_loss_sharded_matches_single_device(n_shards):
+    """shard_map over the CPU mesh must give the identical global loss (the
+    per-shard label offsets in the all_gather branch are exercised at both
+    mesh widths)."""
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map
 
@@ -132,7 +135,7 @@ def test_global_loss_sharded_matches_single_device():
     ref, _ = losses.global_info_nce(
         cfg, jnp.asarray(tp), jnp.asarray(tn), jnp.asarray(au))
 
-    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("data",))
 
     def local(tp_l, tn_l, au_l):
         loss, _ = losses.global_info_nce(cfg, tp_l, tn_l, au_l, axis_name="data")
@@ -142,6 +145,33 @@ def test_global_loss_sharded_matches_single_device():
                   in_specs=(P("data"), P("data"), P("data")), out_specs=P())
     got = f(jnp.asarray(tp), jnp.asarray(tn), jnp.asarray(au))
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_global_per_sample_masked_excludes_padded_candidates():
+    """Eval tails duplicate real rows with mask 0 (pipeline._emit); the masked
+    global objective must remove those duplicate candidate columns so the valid
+    rows score exactly as in an unpadded batch."""
+    cfg = LossConfig(kind="global", temperature=0.1, corrupt_gamma=0.35)
+    rng = np.random.default_rng(7)
+    b, d = 3, 8
+    def unit(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+    tp, tn, au = (unit(rng.normal(size=(b, d))).astype(np.float32) for _ in range(3))
+    pad = lambda x: np.concatenate([x, x[:1]], axis=0)   # row 3 duplicates row 0
+
+    per_unpadded = losses.global_per_sample_masked(
+        cfg, jnp.asarray(tp), jnp.asarray(tn), jnp.asarray(au),
+        jnp.ones(b, jnp.float32))
+    per_padded = losses.global_per_sample_masked(
+        cfg, jnp.asarray(pad(tp)), jnp.asarray(pad(tn)), jnp.asarray(pad(au)),
+        jnp.asarray([1, 1, 1, 0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(per_padded)[:b],
+                               np.asarray(per_unpadded), rtol=1e-5)
+    # with all rows valid it reproduces the training loss exactly
+    loss, _ = losses.global_info_nce(cfg, jnp.asarray(tp), jnp.asarray(tn),
+                                     jnp.asarray(au))
+    np.testing.assert_allclose(float(jnp.mean(per_unpadded)), float(loss),
+                               rtol=1e-5)
 
 
 def test_to_human_readable():
