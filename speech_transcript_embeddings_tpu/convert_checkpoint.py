@@ -72,12 +72,28 @@ def main(argv=None):
     p.add_argument("--no-word-alignment", action="store_true")
     p.add_argument("--no-cross-modal", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--from-torch", metavar="CKPT_PT",
+                   help="ingest a trained reference torch checkpoint "
+                        "(best_model_gap.pt etc.) instead of HF encoders; "
+                        "config is reconstructed from its metadata/keys")
     p.add_argument("--output", required=True)
     args = p.parse_args(argv)
 
-    from transformers import AutoModel
     from speech_transcript_embeddings_tpu import config as config_lib
     from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+
+    if args.from_torch:
+        from speech_transcript_embeddings_tpu.models import ingest_torch
+        print(f"Ingesting reference checkpoint {args.from_torch} ...")
+        cfg, params = ingest_torch.load_reference_checkpoint(args.from_torch)
+        ckpt_lib.save_params_checkpoint(
+            args.output, params, cfg, info={"source": args.from_torch,
+                                            "kind_detail": "reference_torch"})
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+        print(f"Saved {n:,}-param checkpoint to {args.output}")
+        return
+
+    from transformers import AutoModel
 
     print(f"Loading {args.text_model} ...")
     text_hf = AutoModel.from_pretrained(args.text_model)

@@ -72,6 +72,21 @@ def _rel_bias(q_s, e, qi, ki, num_pos, left):
     return jnp.where(jj >= ii, a, b)
 
 
+def _unshear(x):
+    """Inverse of the stride-1 shear: u[i, m] = x[i, (m + i) mod 128].
+
+    Mosaic's dynamic_rotate caps the max per-vreg shift at the vreg width, so
+    the direct ``stride = 127 (≡ -1)`` roll does not lower; decompose the
+    row-dependent rotate into 7 constant rotates selected by the row index's
+    bits (shift -i = Σ_b -2^b over i's set bits, composed additively).
+    """
+    ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    for b in range(7):                       # 2^7 == BLOCK
+        rolled = pltpu.roll(x, shift=BLOCK - (1 << b), axis=1)
+        x = jnp.where((ii >> b) & 1 == 1, rolled, x)
+    return x
+
+
 def _scores(q_s, k, e, limit, qi, ki, num_pos, left):
     """Masked, biased, scaled attention scores for one tile pair (f32).
 
@@ -151,9 +166,8 @@ def _dq_kernel(nh, num_pos, left, nk,
     jj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
     da_sh = jnp.where(jj >= ii, ds, 0.0)
     db_sh = jnp.where(jj >= ii, 0.0, ds)
-    # unshear: u[i, m] = x[i, (m + i) mod 128]  (stride 127 ≡ -1 mod 128)
-    da = pltpu.roll(da_sh, shift=0, axis=1, stride=BLOCK - 1, stride_axis=0)
-    db = pltpu.roll(db_sh, shift=0, axis=1, stride=BLOCK - 1, stride_axis=0)
+    da = _unshear(da_sh)
+    db = _unshear(db_sh)
     mm = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)   # m rows
     dd_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)  # d cols
     sel_a_t = (jnp.clip(delta + mm + left, 0, num_pos - 1) == dd_i)

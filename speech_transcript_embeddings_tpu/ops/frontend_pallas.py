@@ -30,6 +30,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from speech_transcript_embeddings_tpu.config import FrontendConfig
 from speech_transcript_embeddings_tpu.ops import frontend as fe
@@ -137,17 +138,116 @@ def pallas_log_mel(cfg: FrontendConfig, transform: jax.Array, mel: jax.Array,
     return out[:, :num_frames, : cfg.num_mel_bins]
 
 
-class PallasLogMelFrontend(fe.LogMelFrontend):
-    """Drop-in LogMelFrontend with the framing+DFT+mel stage fused in Pallas."""
+def _fused_kernel(cfg: FrontendConfig, nt: int, w0_ref, w1_ref, w2_ref,
+                  transform_ref, mel_ref, nvalid_ref, out_ref, lm_scr):
+    """Whole-clip kernel: log-mel tiles into VMEM scratch, then the masked
+    per-utterance per-bin normalisation (mean / ddof-1 std over valid frames)
+    in the same kernel — the intermediate never round-trips through HBM."""
+    scale = jnp.float32(2.0 ** 15)
+    for ti in range(nt):                     # static unroll over frame tiles
+        rows = slice(ti * FRAMES_PER_TILE, (ti + 1) * FRAMES_PER_TILE)
+        spec = (
+            jnp.dot(w0_ref[0, rows] * scale, transform_ref[0],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(w1_ref[0, rows] * scale, transform_ref[1],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(w2_ref[0, rows] * scale, transform_ref[2],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        )
+        power = spec[:, :SIN_OFFSET] ** 2 + spec[:, SIN_OFFSET:] ** 2
+        mels = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        lm_scr[rows] = jnp.log(jnp.maximum(mels, cfg.mel_floor))
 
-    def __init__(self, cfg: FrontendConfig = None, interpret: bool = False):
+    valid = nvalid_ref[pl.program_id(0)]
+    t_pad = nt * FRAMES_PER_TILE
+    fmask = (jax.lax.broadcasted_iota(jnp.int32, (t_pad, MEL_COLS), 0)
+             < valid).astype(jnp.float32)
+    lm = lm_scr[:]
+    if cfg.per_bin_normalize:
+        count = jnp.maximum(valid.astype(jnp.float32), 1.0)
+        mean = jnp.sum(lm * fmask, axis=0, keepdims=True) / count
+        centred = (lm - mean) * fmask
+        var = (jnp.sum(centred * centred, axis=0, keepdims=True)
+               / jnp.maximum(count - 1.0, 1.0))
+        out_ref[0] = centred * jax.lax.rsqrt(var + 1e-7)
+    else:
+        out_ref[0] = lm * fmask
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def pallas_log_mel_fused(cfg: FrontendConfig, transform: jax.Array,
+                         mel: jax.Array, waveform: jax.Array,
+                         num_samples: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Normalised (masked, per-bin) log-mel ``[B, num_frames, MEL_COLS]`` for a
+    padded waveform batch — framing, DFT, mel, log and normalisation in one
+    kernel pass per clip. Stacking stays in XLA (it fuses into the consumer)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if cfg.frame_length != 400 or cfg.hop_length != 160:
+        raise ValueError("pallas kernel assumes the w2v-bert 25ms/10ms framing")
+    b, n = waveform.shape
+    num_frames = fe.frames_for_samples(cfg, n)
+    t_pad = ((num_frames + FRAMES_PER_TILE - 1) // FRAMES_PER_TILE
+             * FRAMES_PER_TILE)
+    nt = t_pad // FRAMES_PER_TILE
+    rows = t_pad + 3
+    n_pad = rows * cfg.hop_length
+    if n_pad > n:
+        waveform = jnp.pad(waveform, ((0, 0), (0, n_pad - n)))
+    else:
+        waveform = waveform[:, :n_pad]
+    wave_rows = waveform.reshape(b, rows, cfg.hop_length)
+    w0 = wave_rows[:, 0:t_pad]
+    w1 = wave_rows[:, 1:t_pad + 1]
+    w2 = wave_rows[:, 2:t_pad + 2]
+    nvalid = fe.num_valid_frames(cfg, num_samples).astype(jnp.int32)
+
+    clip_spec = pl.BlockSpec((1, t_pad, cfg.hop_length),
+                             lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, cfg, nt),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, MEL_COLS), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            clip_spec, clip_spec, clip_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, MEL_COLS), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t_pad, MEL_COLS), jnp.float32)],
+        interpret=interpret,
+    )(w0, w1, w2, transform, mel, nvalid)
+    return out[:, :num_frames]
+
+
+class PallasLogMelFrontend(fe.LogMelFrontend):
+    """Drop-in LogMelFrontend with the framing+DFT+mel(+normalisation) stages
+    fused in Pallas. ``fused=True`` (default) runs one whole-clip kernel that
+    also normalises in VMEM; ``fused=False`` keeps the tiled log-mel kernel
+    with normalisation in XLA."""
+
+    def __init__(self, cfg: FrontendConfig = None, interpret: bool = False,
+                 fused: bool = True):
         super().__init__(cfg)
         self._packed_transform = jnp.asarray(packed_transform(self.cfg))
         self._packed_mel = jnp.asarray(packed_mel(self.cfg))
         self._interpret = interpret
+        self._fused = fused
 
     def __call__(self, waveform: jax.Array, num_samples: jax.Array
                  ) -> Tuple[jax.Array, jax.Array]:
+        if self._fused:
+            return _pallas_frontend_fused_impl(
+                self.cfg, self._packed_transform, self._packed_mel,
+                waveform, num_samples, self._interpret)
         return _pallas_frontend_impl(
             self.cfg, self._packed_transform, self._packed_mel,
             waveform, num_samples, self._interpret)
@@ -160,3 +260,23 @@ def _pallas_frontend_impl(cfg: FrontendConfig, transform, mel, waveform,
     # a stride multiple); normalisation/stacking is shared with the jnp oracle
     logmel = pallas_log_mel(cfg, transform, mel, waveform, interpret)
     return fe.normalize_and_stack(cfg, logmel, num_samples)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _pallas_frontend_fused_impl(cfg: FrontendConfig, transform, mel, waveform,
+                                num_samples, interpret):
+    norm = pallas_log_mel_fused(cfg, transform, mel, waveform, num_samples,
+                                interpret)
+    b, num_frames, _ = norm.shape
+    t2 = num_frames // cfg.stride
+    # stride-stacking (cheap — fuses into the consumer): feature row t2 is the
+    # concat of the stride frames' first num_mel_bins lanes
+    r = norm.reshape(b, t2, cfg.stride * MEL_COLS)
+    features = jnp.concatenate(
+        [r[:, :, i * MEL_COLS:i * MEL_COLS + cfg.num_mel_bins]
+         for i in range(cfg.stride)], axis=-1)
+    valid = fe.num_valid_frames(cfg, num_samples)
+    frame_mask = (jnp.arange(num_frames)[None, :] < valid[:, None])
+    mask = frame_mask.reshape(b, t2, cfg.stride)[:, :, cfg.stride - 1].astype(
+        jnp.int32)
+    return features, mask

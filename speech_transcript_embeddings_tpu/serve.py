@@ -14,25 +14,122 @@ Endpoints (JSON in/out):
   POST /similarity         {"text": "...", "audio": [...], "sample_rate": N}
                            → {"similarity": s, "similarity_fused": f}
 
-Device work is serialized behind a lock (one model, one chip); shapes reuse the
-bucketed jit cache, so repeated requests hit compiled programs.
+Concurrent clients are micro-batched: a per-modality coalescing queue merges
+requests that arrive within a short window into one device batch (dispatched
+onto the Embedder's power-of-two row buckets, so coalesced sizes reuse the
+compiled-program cache); only the device call itself holds the chip lock.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
+class _Future:
+    __slots__ = ("_event", "_value", "_error")
+
+    def __init__(self):
+        self._event = threading.Event()
+        self._value = None
+        self._error = None
+
+    def set(self, value):
+        self._value = value
+        self._event.set()
+
+    def set_error(self, err):
+        self._error = err
+        self._event.set()
+
+    def result(self):
+        self._event.wait()
+        if self._error is not None:
+            raise self._error
+        return self._value
+
+
+class MicroBatcher:
+    """Request-coalescing queue in front of a batched embed function.
+
+    Concurrent ``submit`` calls are merged into one device batch: the dispatch
+    thread takes the first pending request, then keeps collecting arrivals for
+    up to ``window_s`` (or until ``max_batch`` rows), concatenates the items,
+    runs ``fn`` once under the shared device lock, and fans results back out.
+    Single requests on an idle server pay at most the collection window —
+    and nothing at all when the queue stays empty behind them (the window poll
+    returns immediately once max_batch is hit).
+    """
+
+    def __init__(self, fn, device_lock: threading.Lock,
+                 max_batch: int = 64, window_s: float = 0.003):
+        self.fn = fn
+        self.device_lock = device_lock
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self.batch_sizes: list = []     # dispatch-size telemetry (observable)
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, items: list):
+        fut = _Future()
+        self._q.put((list(items), fut))
+        return fut.result()
+
+    def _collect(self):
+        items, fut = self._q.get()
+        pending = [(items, fut)]
+        total = len(items)
+        deadline = time.monotonic() + self.window_s
+        while total < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                items, fut = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            pending.append((items, fut))
+            total += len(items)
+        return pending
+
+    def _run(self):
+        while True:
+            pending = self._collect()
+            merged = [it for items, _ in pending for it in items]
+            self.batch_sizes.append(len(merged))
+            try:
+                with self.device_lock:
+                    out = self.fn(merged)
+            except Exception as e:                  # fan the error out
+                for _, fut in pending:
+                    fut.set_error(e)
+                continue
+            off = 0
+            for items, fut in pending:
+                fut.set(out[off:off + len(items)])
+                off += len(items)
+
+
 class EmbeddingService:
-    def __init__(self, checkpoint: str):
+    def __init__(self, checkpoint: str, max_batch: int = 64,
+                 window_ms: float = 3.0):
         from speech_transcript_embeddings_tpu.inference.embed import Embedder
         self.embedder = Embedder.from_checkpoint(checkpoint)
         self._lock = threading.Lock()
+        self._text_batcher = MicroBatcher(
+            self.embedder.embed_texts, self._lock,
+            max_batch=max_batch, window_s=window_ms / 1000.0)
+        self._audio_batcher = MicroBatcher(
+            self.embedder.embed_audios, self._lock,
+            max_batch=max_batch, window_s=window_ms / 1000.0)
 
     def _prep_audio(self, audio, sample_rate):
         wav = np.asarray(audio, np.float32)
@@ -42,19 +139,17 @@ class EmbeddingService:
         return wav
 
     def embed_text(self, texts):
-        with self._lock:
-            return self.embedder.embed_texts(list(texts)).tolist()
+        return self._text_batcher.submit(list(texts)).tolist()
 
     def embed_audio(self, audios, sample_rate=16000):
         wavs = [self._prep_audio(a, sample_rate) for a in audios]
-        with self._lock:
-            return self.embedder.embed_audios(wavs).tolist()
+        return self._audio_batcher.submit(wavs).tolist()
 
     def similarity(self, text, audio, sample_rate=16000):
         wav = self._prep_audio(audio, sample_rate)
+        te = self._text_batcher.submit([text])[0]
+        ae = self._audio_batcher.submit([wav])[0]
         with self._lock:
-            te = self.embedder.embed_texts([text])[0]
-            ae = self.embedder.embed_audios([wav])[0]
             fused, _, _ = self.embedder.embed_pair(text, wav)
         return {"similarity": float(np.dot(te, ae)),
                 "similarity_fused": float(fused)}

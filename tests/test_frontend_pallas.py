@@ -29,7 +29,8 @@ def test_packed_matrices(cfg):
     np.testing.assert_allclose(mel[:257, :80], fe.make_mel_filters(cfg), rtol=1e-6)
 
 
-def test_pallas_matches_jnp_frontend(cfg):
+@pytest.mark.parametrize("fused", [False, True])
+def test_pallas_matches_jnp_frontend(cfg, fused):
     rng = np.random.default_rng(0)
     lengths = [21000, 48000, 7000]
     bucket = 48000
@@ -40,7 +41,7 @@ def test_pallas_matches_jnp_frontend(cfg):
     ref_front = fe.LogMelFrontend(cfg)
     ref_feats, ref_mask = ref_front(jnp.asarray(wav), jnp.asarray(lengths))
 
-    pal_front = fp.PallasLogMelFrontend(cfg, interpret=True)
+    pal_front = fp.PallasLogMelFrontend(cfg, interpret=True, fused=fused)
     got_feats, got_mask = pal_front(jnp.asarray(wav), jnp.asarray(lengths))
 
     np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(ref_mask))

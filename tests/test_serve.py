@@ -82,6 +82,67 @@ def test_embed_and_similarity(server):
     assert -1 <= out["similarity"] <= 1 and -1 <= out["similarity_fused"] <= 1
 
 
+def test_microbatcher_coalesces_concurrent_requests():
+    """Concurrent submits within the collection window dispatch as ONE device
+    batch (the round-1 server serialized every request behind a lock)."""
+    import time
+    from speech_transcript_embeddings_tpu.serve import MicroBatcher
+
+    calls = []
+    lock = threading.Lock()
+
+    def fn(items):
+        calls.append(len(items))
+        time.sleep(0.02)                 # emulate device latency
+        return np.asarray([[float(x)] for x in items])
+
+    mb = MicroBatcher(fn, lock, max_batch=64, window_s=0.05)
+    results = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def client(i):
+        barrier.wait()
+        results[i] = mb.submit([i, 100 + i])
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(8):
+        np.testing.assert_array_equal(results[i].ravel(), [i, 100 + i])
+    # 16 rows across 8 clients must have dispatched in far fewer device calls
+    assert sum(calls) == 16
+    assert len(calls) <= 3, f"dispatch not coalesced: {calls}"
+
+
+def test_microbatcher_propagates_errors():
+    from speech_transcript_embeddings_tpu.serve import MicroBatcher
+
+    def fn(items):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(fn, threading.Lock(), window_s=0.001)
+    with pytest.raises(RuntimeError, match="boom"):
+        mb.submit(["x"])
+
+
+def test_concurrent_http_clients(server):
+    """Drive the real server with parallel clients; all succeed and agree."""
+    out = [None] * 6
+    def client(i):
+        out[i] = _post(server + "/embed_text", {"texts": [f"casa {i}", "tempo"]})
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        status, payload = out[i]
+        assert status == 200
+        assert np.asarray(payload["embeddings"]).shape == (2, 24)
+
+
 def test_bad_requests(server):
     for path, payload in (("/embed_text", {}), ("/embed_text", {"texts": []}),
                           ("/similarity", {"text": "x"})):
