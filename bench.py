@@ -37,7 +37,7 @@ def main():
     from speech_transcript_embeddings_tpu.models.dual_encoder import (
         DualEncoderModel, template_params,
     )
-    from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+    from speech_transcript_embeddings_tpu.ops import make_frontend
     from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
     from speech_transcript_embeddings_tpu.training.train_step import (
         create_train_state, make_train_step,
@@ -48,9 +48,13 @@ def main():
 
     import dataclasses
     m = config_lib.ModelConfig(dtype="bfloat16", remat=True)
+    # flagship kernels: scanned frozen bottoms, Pallas flash attention with the
+    # banded rel bias, fused Pallas log-mel frontend (measured wins, ROUND2.md)
     m = dataclasses.replace(
         m, text=dataclasses.replace(m.text, scan_bottom=7),
-        audio=dataclasses.replace(m.audio, scan_bottom=19))
+        audio=dataclasses.replace(m.audio, scan_bottom=19,
+                                  use_flash_attention=True),
+        frontend=dataclasses.replace(m.frontend, use_pallas=True))
     cfg = config_lib.ExperimentConfig(
         model=m,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
@@ -63,7 +67,7 @@ def main():
     )
 
     model = DualEncoderModel(cfg.model)
-    frontend = LogMelFrontend(cfg.model.frontend)
+    frontend = make_frontend(cfg.model.frontend)
     params = template_params(model)
     labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
     trainable_labels, _ = opt_lib.split_params(labels, labels)

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Mid-size quality-parity proxy run (VERDICT r1 next-step #6).
+
+Common Voice is unreachable from this environment (zero egress), so this is
+the strongest local substitute for a quality-parity check: a multi-epoch run
+at a mid-size geometry (6+6 layers, hidden 256/512) on the real chip with the
+flagship recipe's loss (pairwise + word alignment + corrupt penalty),
+optimizer structure (AdamW, encoder LR /50, warmup→linear decay, grad
+accumulation to effective batch 160, clip 1.0), freeze shape (partial, top
+layers + embeddings trainable) and artifact schema. Encoders are random-init
+(no pretrained weights without egress), so the base LR is raised from the
+reference's fine-tuning 5e-5 — that value only makes sense on pretrained
+encoders; everything else follows the flagship settings.
+
+Reports the per-epoch gap trajectory plus test gap and Recall@K, in the shape
+of BASELINE.md's table, for ROUND2.md.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from speech_transcript_embeddings_tpu import config as config_lib
+from speech_transcript_embeddings_tpu.training.loop import run_experiment
+from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
+
+
+def build_config(out_dir: str) -> config_lib.ExperimentConfig:
+    model = config_lib.ModelConfig(
+        text=config_lib.TextEncoderConfig(
+            vocab_size=512, hidden_size=256, num_layers=6, num_heads=4,
+            intermediate_size=1024, max_position_embeddings=64,
+            scan_bottom=1),
+        audio=config_lib.AudioEncoderConfig(
+            hidden_size=512, num_layers=6, num_heads=8,
+            intermediate_size=2048, conv_kernel_size=31,
+            left_max_rel_pos=64, right_max_rel_pos=8, scan_bottom=1),
+        heads=config_lib.HeadsConfig(projection_dim=256),
+        dtype="bfloat16", remat=True,
+    )
+    return config_lib.ExperimentConfig(
+        model=model,
+        freeze=config_lib.FreezeConfig(
+            mode="partial", text_layers_to_unfreeze=5,
+            audio_layers_to_unfreeze=5),
+        loss=config_lib.LossConfig(),            # flagship pairwise recipe
+        optimizer=config_lib.OptimizerConfig(
+            learning_rate=3e-4, warmup_steps=20),
+        data=config_lib.DataConfig(
+            dataset="synthetic", num_synthetic_samples=2048, batch_size=32,
+            max_text_length=24, audio_buckets=(48000,),
+            max_audio_samples=48000),
+        train=config_lib.TrainConfig(
+            num_epochs=12, accumulation_steps=5,   # effective batch 160
+            output_dir=out_dir, plot_every=4, log_every_batches=32),
+    )
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/proxy_midsize"
+    enable()
+    cfg = build_config(out_dir)
+    results = run_experiment(cfg)
+
+    summary = {
+        "val_gap_trajectory": [
+            round(c - k, 4) for c, k in zip(results["val_history"]["clean"],
+                                            results["val_history"]["corrupt"])],
+        "test_metrics": results["test_metrics"],
+        "retrieval": results.get("retrieval", {}),
+    }
+    with open(os.path.join(out_dir, "proxy_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer
 from speech_transcript_embeddings_tpu.models.dual_encoder import (
     DualEncoderModel, init_params, l2_normalize,
 )
-from speech_transcript_embeddings_tpu.ops.frontend import LogMelFrontend
+from speech_transcript_embeddings_tpu.ops import make_frontend
 from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
 from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
 
@@ -36,7 +36,7 @@ class Embedder:
                  tokenizer: Optional[Tokenizer] = None):
         self.cfg = cfg
         self.model = DualEncoderModel(cfg.model)
-        self.frontend = LogMelFrontend(cfg.model.frontend)
+        self.frontend = make_frontend(cfg.model.frontend)
         self.params = params
         self.tokenizer = tokenizer or SimpleWordTokenizer(
             vocab_size=cfg.model.text.vocab_size)

@@ -9,31 +9,38 @@ Reference behavior: the w2v-bert-2.0 conformer's self-attention with
 The XLA path (``models/audio_encoder.RelPositionAttention``) materialises the
 ``[B, h, T, T]`` score matrix in HBM — ~500 MB per layer pass at the flagship
 geometry and the measured single-chip bottleneck (43% MFU, ROUND1.md item 4).
-This kernel streams k/v tiles through VMEM with an online softmax, and computes
-the banded Shaw-style bias *without gathers* (per-(q,k) gathers lower to scalar
-loads on Mosaic — 200× slowdowns measured in round 1):
+This kernel keeps all score/softmax work in VMEM.
 
-For a 128×128 tile pair at offset Δ = 128·(k_tile − q_tile), write m = (j−i)
-mod 128. Then ``bias[i, j] = qE[i, c(Δ + j − i)]`` splits by the sign of j−i
-into two *column selections* of ``qE = q·Eᵀ`` with static-per-tile maps
-m → clip(Δ + m + L) (j ≥ i) and m → clip(Δ + m − 128 + L) (j < i). Each
-selection is a one-hot matmul ``qE @ Sel`` on the MXU (Sel built in-register
-from iotas), aligned onto the (i, j) grid by one per-row circular shift
-(``pltpu.roll`` with ``stride=1`` — a shear), and combined with the triangular
-mask j ≥ i. Cost: two extra 128³ matmuls + two rolls per tile pair — MXU work,
-which attention has spare capacity for; zero HBM score traffic.
+Structure (chosen by measurement — a classic (bh, q_tile, k_tile) online-
+softmax grid ran *slower* than XLA here because 8k grid steps of ~0.2 µs of
+MXU work each are pure per-step overhead): ONE grid step per batch·head row;
+inside the kernel, static Python loops walk q chunks (``bq`` rows, sized to
+VMEM) against the full key range, so each step does whole-row softmax with no
+online state and no scratch carries.
 
-The backward pass is two more Pallas kernels (dq+dE and dk+dv) using the same
-bias machinery transposed: dS is un-sheared (``stride = 127 ≡ −1 mod 128``)
-back to diagonal-band coordinates, and the Sel matmuls run in reverse to give
-the gradient through qE — including dE, the learned distance embedding's
-gradient, accumulated per (batch·head) tile and reduced in XLA.
+The Shaw bias is computed without gathers (per-(q,k) gathers lower to scalar
+loads on Mosaic — 200× slowdowns measured in round 1). For a 128×128
+sub-block at static offset Δ, with m = (j−i) mod 128, ``bias[i,j] =
+qE[i, c(Δ + j − i)]`` splits by the sign of j−i into two column-selections of
+``qE = q·Eᵀ``:
+
+  * fully clipped ranges (|Δ| past the clamp window, most sub-blocks at long
+    T) collapse to a broadcast of one qE column — no matmul, no shift;
+  * banded ranges build a one-hot map Sel in-register from iotas, take
+    ``qE @ Sel`` on the MXU **in the input dtype** (a pure column selection —
+    bf16-exact up to qE's own rounding), and align it onto the (i, j) grid
+    with one per-row circular shift (``pltpu.roll`` with ``stride=1``);
+
+the two cases merge under the triangular mask j ≥ i. The backward pass is one
+more kernel producing dq, dk, dv **and dE** (the learned distance embedding's
+gradient): dS is un-sheared back to band coordinates — Mosaic caps per-vreg
+rotate shifts at the vreg width, so the inverse shear is 7 constant rotates
+selected by the row index's bits — and the Sel matmuls run transposed.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,42 +51,9 @@ BLOCK = 128
 NEG = -1e30
 
 
-def _rel_bias(q_s, e, qi, ki, num_pos, left):
-    """Banded Shaw bias for one 128×128 tile pair (see module docstring).
-
-    q_s: [BLOCK, hd] pre-scaled queries; e: [BLOCK(pad), hd] distance embedding
-    (rows ≥ num_pos zero). Returns f32 [BLOCK, BLOCK] with
-    bias[i, j] = q_s[i] · e[clip(Δ + j - i + left, 0, num_pos-1)].
-    """
-    delta = (ki - qi) * BLOCK
-    qe = jax.lax.dot_general(q_s, e, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [i, d=128]
-    dd = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)   # d rows
-    mm = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)   # m cols
-    sel_a = (jnp.clip(delta + mm + left, 0, num_pos - 1) == dd)
-    sel_b = (jnp.clip(delta + mm - BLOCK + left, 0, num_pos - 1) == dd)
-    a = jax.lax.dot_general(qe, sel_a.astype(jnp.float32),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # [i, m]
-    b = jax.lax.dot_general(qe, sel_b.astype(jnp.float32),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    # shear onto the (i, j) grid: rolled[i, j] = x[i, (j - i) mod 128]
-    a = pltpu.roll(a, shift=0, axis=1, stride=1, stride_axis=0)
-    b = pltpu.roll(b, shift=0, axis=1, stride=1, stride_axis=0)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    return jnp.where(jj >= ii, a, b)
-
-
 def _unshear(x):
-    """Inverse of the stride-1 shear: u[i, m] = x[i, (m + i) mod 128].
-
-    Mosaic's dynamic_rotate caps the max per-vreg shift at the vreg width, so
-    the direct ``stride = 127 (≡ -1)`` roll does not lower; decompose the
-    row-dependent rotate into 7 constant rotates selected by the row index's
-    bits (shift -i = Σ_b -2^b over i's set bits, composed additively).
-    """
+    """Inverse shear: u[i, m] = x[i, (m + i) mod 128] via 7 constant rotates
+    (shift −i = Σ_b −2^b over i's set bits, composed additively)."""
     ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
     for b in range(7):                       # 2^7 == BLOCK
         rolled = pltpu.roll(x, shift=BLOCK - (1 << b), axis=1)
@@ -87,141 +61,174 @@ def _unshear(x):
     return x
 
 
-def _scores(q_s, k, e, limit, qi, ki, num_pos, left):
-    """Masked, biased, scaled attention scores for one tile pair (f32).
-
-    ``limit`` is this batch row's valid key count: key masks are contiguous
-    prefixes here (frame validity from the frontend), which lets the mask live
-    as one scalar in SMEM instead of a vector input Mosaic cannot block as
-    (1, 128).
-    """
-    s = jax.lax.dot_general(q_s, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s + _rel_bias(q_s, e, qi, ki, num_pos, left)
-    jj = ki * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    return jnp.where(jj < limit, s, NEG)
+def _part_kind(lo: int, hi: int, left: int, num_pos: int):
+    """Classify a distance range [lo, hi]: fully left-clipped, fully
+    right-clipped, or banded. num_pos = L + R + 1 → right clamp R =
+    num_pos - 1 - left."""
+    right = num_pos - 1 - left
+    if lo >= right:
+        return ("const", num_pos - 1)
+    if hi <= -left:
+        return ("const", 0)
+    return ("band", None)
 
 
-def _fwd_kernel(nh, num_pos, left, nk,
-                q_ref, k_ref, v_ref, e_ref, len_ref,
-                out_ref, lse_ref, m_scr, l_scr, acc_scr):
-    bh, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    s = _scores(q_ref[0], k_ref[0], e_ref[:], len_ref[bh // nh], qi, ki,
-                num_pos, left)
-    m_prev, l_prev = m_scr[:], l_scr[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)                  # [128, 1]
-    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    corr = jnp.exp(m_prev[:, :1] - m_next[:, :1])              # [128, 1]
-    p = jnp.exp(s - m_next[:, :1])                             # [128, 128]
-    l_cur = jnp.sum(p, axis=1, keepdims=True)
-    m_scr[:] = m_next
-    l_scr[:] = l_prev * corr + jnp.broadcast_to(l_cur, l_prev.shape)
-    acc_scr[:] = (acc_scr[:] * corr
-                  + jax.lax.dot_general(
-                      p.astype(v_ref.dtype), v_ref[0],
-                      (((1,), (0,)), ((), ())),
-                      preferred_element_type=jnp.float32))
-
-    @pl.when(ki == nk - 1)
-    def _fin():
-        l = jnp.maximum(l_scr[:, :1], 1e-30)
-        out_ref[0] = (acc_scr[:] / l).astype(out_ref.dtype)
-        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l)
+def _sel_matrix(delta: int, offs: int, left: int, num_pos: int, dtype):
+    """One-hot Sel[d, m] = [clip(delta + m + offs + left) == d], built from
+    iotas (VPU) so the column selection runs as one MXU matmul."""
+    dd = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    return (jnp.clip(delta + mm + offs + left, 0, num_pos - 1) == dd).astype(dtype)
 
 
-def _dq_kernel(nh, num_pos, left, nk,
-               q_ref, k_ref, v_ref, e_ref, len_ref, do_ref, lse_ref, dd_ref,
-               dq_ref, de_ref, dq_scr, de_scr):
-    bh, qi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _sub_bias(qe, delta: int, left: int, num_pos: int):
+    """Bias for one 128×128 sub-block at static offset delta (f32).
 
-    @pl.when(ki == 0)
-    def _init():
-        dq_scr[:] = jnp.zeros_like(dq_scr)
+    qe: [128, 128] (d-padded) in compute dtype. Case A covers j ≥ i
+    (distances [delta, delta+127]), case B covers j < i ([delta-127, -1])."""
+    def part(lo, hi, offs):
+        kind, col = _part_kind(lo, hi, left, num_pos)
+        if kind == "const":
+            return qe[:, col:col + 1].astype(jnp.float32)       # [128, 1]
+        sel = _sel_matrix(delta, offs, left, num_pos, qe.dtype)
+        a = jax.lax.dot_general(qe, sel, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        # shear onto the (i, j) grid: out[i, j] = a[i, (j - i) mod 128]
+        return pltpu.roll(a, shift=0, axis=1, stride=1, stride_axis=0)
 
-        @pl.when(qi == 0)
-        def _():
-            de_scr[:] = jnp.zeros_like(de_scr)
-
-    s = _scores(q_ref[0], k_ref[0], e_ref[:], len_ref[bh // nh], qi, ki,
-                num_pos, left)
-    p = jnp.exp(s - lse_ref[0, 0])                             # [128q, 128k]
-    dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - dd_ref[0, 0])                               # [128q, 128k]
-    # plain qk term
-    dq_scr[:] += jax.lax.dot_general(
-        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # rel-bias term: unshear ds back to (i, m) band coordinates, then reverse
-    # the one-hot column selections to recover d(qE)
-    delta = (ki - qi) * BLOCK
+    part_a = part(delta, delta + BLOCK - 1, 0)
+    part_b = part(delta - BLOCK + 1, delta - 1, -BLOCK)
     ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    da_sh = jnp.where(jj >= ii, ds, 0.0)
-    db_sh = jnp.where(jj >= ii, 0.0, ds)
-    da = _unshear(da_sh)
-    db = _unshear(db_sh)
-    mm = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)   # m rows
-    dd_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)  # d cols
-    sel_a_t = (jnp.clip(delta + mm + left, 0, num_pos - 1) == dd_i)
-    sel_b_t = (jnp.clip(delta + mm - BLOCK + left, 0, num_pos - 1) == dd_i)
-    dqe = (jax.lax.dot_general(da, sel_a_t.astype(jnp.float32),
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-           + jax.lax.dot_general(db, sel_b_t.astype(jnp.float32),
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32))
-    dq_scr[:] += jax.lax.dot_general(
-        dqe.astype(e_ref.dtype), e_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # dE accumulates over every (qi, ki) of this batch·head slice
-    de_scr[:] += jax.lax.dot_general(
-        dqe, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(ki == nk - 1)
-    def _fin():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
-
-        @pl.when(qi == pl.num_programs(1) - 1)
-        def _():
-            de_ref[0] = de_scr[:]
+    return jnp.where(jj >= ii, part_a, part_b)
 
 
-def _dkv_kernel(nh, num_pos, left, nq,
+def _bias_rows(qe, q0: int, t_pad: int, left: int, num_pos: int):
+    """Bias strip [bq, t_pad] (f32) for q rows [q0, q0+bq), assembled from
+    128-aligned sub-blocks (Mosaic concatenates aligned tiles cheaply)."""
+    bq = qe.shape[0]
+    strips = []
+    for qs in range(bq // BLOCK):
+        qe_blk = qe[qs * BLOCK:(qs + 1) * BLOCK]
+        row = [jnp.broadcast_to(
+                   _sub_bias(qe_blk, ks * BLOCK - (q0 + qs * BLOCK), left,
+                             num_pos), (BLOCK, BLOCK))
+               for ks in range(t_pad // BLOCK)]
+        strips.append(jnp.concatenate(row, axis=1) if len(row) > 1 else row[0])
+    return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
+
+
+def _dqe_rows(ds, q0: int, t_pad: int, left: int, num_pos: int):
+    """Gradient through the bias: d(qE) strip [bq, 128] (f32) from dS."""
+    bq = ds.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    tri_a = (jj >= ii).astype(jnp.float32)
+
+    def onehot_col(c):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+        return (lane == c).astype(jnp.float32)
+
+    strips = []
+    for qs in range(bq // BLOCK):
+        acc = jnp.zeros((BLOCK, BLOCK), jnp.float32)
+        for ks in range(t_pad // BLOCK):
+            delta = ks * BLOCK - (q0 + qs * BLOCK)
+            sub = ds[qs * BLOCK:(qs + 1) * BLOCK,
+                     ks * BLOCK:(ks + 1) * BLOCK]
+            for offs, mask in ((0, tri_a), (-BLOCK, 1.0 - tri_a)):
+                lo = delta + (0 if offs == 0 else -BLOCK + 1)
+                hi = delta + (BLOCK - 1 if offs == 0 else -1)
+                kind, col = _part_kind(lo, hi, left, num_pos)
+                masked = sub * mask
+                if kind == "const":
+                    acc += (jnp.sum(masked, axis=1, keepdims=True)
+                            * onehot_col(col))
+                else:
+                    sel_t = jnp.transpose(
+                        _sel_matrix(delta, offs, left, num_pos, jnp.float32))
+                    acc += jax.lax.dot_general(
+                        _unshear(masked), sel_t, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        strips.append(acc)
+    return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
+
+
+def _chunk(t_pad: int) -> int:
+    """q-chunk rows per in-kernel iteration, sized so the [bq, t_pad] f32
+    score/probability temporaries stay well inside the ~16 MB VMEM."""
+    return 512 if t_pad <= 1024 else 256
+
+
+def _fwd_kernel(nh, num_pos, left, t_pad,
+                q_ref, k_ref, v_ref, e_ref, len_ref, out_ref, lse_ref):
+    limit = len_ref[pl.program_id(0) // nh]
+    k, v = k_ref[0], v_ref[0]
+    kmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1) < limit, 0.0, NEG)
+    bq = _chunk(t_pad)
+    for q0 in range(0, t_pad, bq):
+        q = q_ref[0, q0:q0 + bq]
+        qe = jax.lax.dot_general(q, e_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(q.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + _bias_rows(qe, q0, t_pad, left, num_pos) + kmask
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[0, q0:q0 + bq] = (acc / l).astype(out_ref.dtype)
+        lse_ref[0, q0:q0 + bq] = m + jnp.log(l)
+
+
+def _bwd_kernel(nh, num_pos, left, t_pad,
                 q_ref, k_ref, v_ref, e_ref, len_ref, do_ref, lse_ref, dd_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr):
-    bh, ki, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-
-    @pl.when(qi == 0)
-    def _init():
-        dk_scr[:] = jnp.zeros_like(dk_scr)
-        dv_scr[:] = jnp.zeros_like(dv_scr)
-
-    s = _scores(q_ref[0], k_ref[0], e_ref[:], len_ref[bh // nh], qi, ki,
-                num_pos, left)
-    p = jnp.exp(s - lse_ref[0, 0])
-    dv_scr[:] += jax.lax.dot_general(
-        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - dd_ref[0, 0])
-    dk_scr[:] += jax.lax.dot_general(
-        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(qi == nq - 1)
-    def _fin():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+                dq_ref, dk_ref, dv_ref, de_ref):
+    limit = len_ref[pl.program_id(0) // nh]
+    k, v, e = k_ref[0], v_ref[0], e_ref[:]
+    kmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1) < limit, 0.0, NEG)
+    hd = k.shape[-1]
+    dk_acc = jnp.zeros((t_pad, hd), jnp.float32)
+    dv_acc = jnp.zeros((t_pad, hd), jnp.float32)
+    de_acc = jnp.zeros((BLOCK, hd), jnp.float32)
+    bq = _chunk(t_pad)
+    for q0 in range(0, t_pad, bq):
+        q = q_ref[0, q0:q0 + bq]
+        do = do_ref[0, q0:q0 + bq]
+        qe = jax.lax.dot_general(q, e, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(q.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + _bias_rows(qe, q0, t_pad, left, num_pos) + kmask
+        p = jnp.exp(s - lse_ref[0, q0:q0 + bq])
+        dv_acc += jax.lax.dot_general(p.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dd_ref[0, q0:q0 + bq])
+        ds_c = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk_acc += jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dqe = _dqe_rows(ds, q0, t_pad, left, num_pos)
+        dq = dq + jax.lax.dot_general(dqe.astype(e.dtype), e,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        de_acc += jax.lax.dot_general(dqe, q.astype(jnp.float32),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dq_ref[0, q0:q0 + bq] = dq
+    dk_ref[0] = dk_acc
+    dv_ref[0] = dv_acc
+    de_ref[0] = de_acc
 
 
 def _pad_t(x, t_pad):
@@ -230,18 +237,12 @@ def _pad_t(x, t_pad):
         x, [(0, 0), (0, t_pad - t)] + [(0, 0)] * (x.ndim - 2))
 
 
-def _common_specs(hd):
-    """BlockSpecs shared by all three kernels, in (bh, a, b) grid order where
-    the q-index and k-index positions are given per kernel."""
-    def qkv(which):     # which: 1 → grid axis 1, 2 → grid axis 2
-        return pl.BlockSpec((1, BLOCK, hd),
-                            lambda bh, a, b, w=which: (bh, (a, b)[w - 1], 0))
-    def col(which):     # [BH, n, BLOCK, 1] per-row stats (lse, D)
-        return pl.BlockSpec((1, 1, BLOCK, 1),
-                            lambda bh, a, b, w=which: (bh, (a, b)[w - 1], 0, 0))
+def _specs(t_pad, hd):
+    full = pl.BlockSpec((1, t_pad, hd), lambda bh: (bh, 0, 0))
+    col = pl.BlockSpec((1, t_pad, 1), lambda bh: (bh, 0, 0))
     e_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    len_spec = pl.BlockSpec(memory_space=pltpu.SMEM)   # [B] int32 valid lengths
-    return qkv, col, e_spec, len_spec
+    len_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return full, col, e_spec, len_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -255,76 +256,55 @@ def _flash(q, k, v, e_pad, kmask, nh: int, num_pos: int, left: int,
 def _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left, interpret):
     bh, t, hd = q.shape
     t_pad = -(-t // BLOCK) * BLOCK
-    nt = t_pad // BLOCK
     inv_s = 1.0 / (hd ** 0.5)
     q_s = _pad_t(q * jnp.asarray(inv_s, q.dtype), t_pad)
     kp, vp = _pad_t(k, t_pad), _pad_t(v, t_pad)
     # contiguous-prefix key masks → one scalar valid length per batch row
     lengths = jnp.sum(kmask > 0, axis=-1).astype(jnp.int32)
-    qkv, col, e_spec, len_spec = _common_specs(hd)
+    full, col, e_spec, len_spec = _specs(t_pad, hd)
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, nh, num_pos, left, nt),
-        grid=(bh, nt, nt),
-        in_specs=[qkv(1), qkv(2), qkv(2), e_spec, len_spec],
-        out_specs=[qkv(1), col(1)],
+        functools.partial(_fwd_kernel, nh, num_pos, left, t_pad),
+        grid=(bh,),
+        in_specs=[full, full, full, e_spec, len_spec],
+        out_specs=[full, col],
         out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), q.dtype),
-                   jax.ShapeDtypeStruct((bh, nt, BLOCK, 1), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((BLOCK, 128), jnp.float32),
-                        pltpu.VMEM((BLOCK, 128), jnp.float32),
-                        pltpu.VMEM((BLOCK, hd), jnp.float32)],
+                   jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q_s, kp, vp, e_pad, lengths)
     return out[:, :t], (q_s, kp, vp, e_pad, lengths, kmask, out, lse)
 
 
 def _flash_fwd(q, k, v, e_pad, kmask, nh, num_pos, left, interpret):
-    out, res = _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left,
-                               interpret)
-    return out, res
+    return _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left, interpret)
 
 
 def _flash_bwd(nh, num_pos, left, interpret, res, dout):
     q_s, kp, vp, e_pad, lengths, kmask, out_pad, lse = res
     bh, t_pad, hd = q_s.shape
-    nt = t_pad // BLOCK
     t = dout.shape[1]
     inv_s = 1.0 / (hd ** 0.5)
     do = _pad_t(dout, t_pad)
     dd = jnp.sum(do.astype(jnp.float32) * out_pad.astype(jnp.float32),
-                 axis=-1).reshape(bh, nt, BLOCK, 1)
-    qkv, col, e_spec, len_spec = _common_specs(hd)
+                 axis=-1, keepdims=True)                    # [bh, t_pad, 1]
+    full, col, e_spec, len_spec = _specs(t_pad, hd)
 
-    dq, de_bh = pl.pallas_call(
-        functools.partial(_dq_kernel, nh, num_pos, left, nt),
-        grid=(bh, nt, nt),
-        in_specs=[qkv(1), qkv(2), qkv(2), e_spec, len_spec, qkv(1),
-                  col(1), col(1)],
-        out_specs=[qkv(1),
-                   pl.BlockSpec((1, BLOCK, hd), lambda bh_, a, b: (bh_, 0, 0))],
+    dq, dk, dv, de_bh = pl.pallas_call(
+        functools.partial(_bwd_kernel, nh, num_pos, left, t_pad),
+        grid=(bh,),
+        in_specs=[full, full, full, e_spec, len_spec, full, col, col],
+        out_specs=[full,
+                   pl.BlockSpec((1, t_pad, hd), lambda bh_: (bh_, 0, 0)),
+                   pl.BlockSpec((1, t_pad, hd), lambda bh_: (bh_, 0, 0)),
+                   pl.BlockSpec((1, BLOCK, hd), lambda bh_: (bh_, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32),
                    jax.ShapeDtypeStruct((bh, BLOCK, hd), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((BLOCK, hd), jnp.float32),
-                        pltpu.VMEM((BLOCK, hd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
-        interpret=interpret,
-    )(q_s, kp, vp, e_pad, lengths, do, lse, dd)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, nh, num_pos, left, nt),
-        grid=(bh, nt, nt),
-        in_specs=[qkv(2), qkv(1), qkv(1), e_spec, len_spec, qkv(2),
-                  col(2), col(2)],
-        out_specs=[qkv(1), qkv(1)],
-        out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((BLOCK, hd), jnp.float32),
-                        pltpu.VMEM((BLOCK, hd), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q_s, kp, vp, e_pad, lengths, do, lse, dd)
 

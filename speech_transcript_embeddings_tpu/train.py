@@ -43,11 +43,16 @@ def build_config(argv) -> config_lib.ExperimentConfig:
         )
     elif preset == "flagship":
         # the reference's best-gap recipe (5+5 unfrozen, mpnet + w2v-bert-2.0
-        # geometry) with the frozen bottoms scanned for fast compilation
+        # geometry) with the frozen bottoms scanned for fast compilation, the
+        # fused Pallas log-mel frontend, and Pallas flash attention (both
+        # measured wins on v5e — ROUND2.md; both fall back to the XLA paths
+        # off-TPU automatically)
         cfg = config_lib.ExperimentConfig(
             model=config_lib.ModelConfig(
                 text=config_lib.TextEncoderConfig(scan_bottom=7),
-                audio=config_lib.AudioEncoderConfig(scan_bottom=19),
+                audio=config_lib.AudioEncoderConfig(
+                    scan_bottom=19, use_flash_attention=True),
+                frontend=config_lib.FrontendConfig(use_pallas=True),
             ),
             freeze=config_lib.FreezeConfig(
                 mode="partial", text_layers_to_unfreeze=5,
