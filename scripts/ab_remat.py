@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""A/B the audio-encoder remat policy on the real chip at flagship shapes.
+
+Runs the exact bench.py training step twice — remat_policy='full' (recompute
+everything in the backward replay) vs 'save_flash' (keep the flash kernel's
+(out, lse) so the replay skips re-running the forward attention kernel) — and
+prints warm step times. Decides whether the flagship preset should ship with
+save_flash (config.py AudioEncoderConfig.remat_policy).
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64
+AUDIO_SECONDS = 10
+TEXT_LEN = 64
+WARMUP_STEPS = 2
+MEASURE_STEPS = 10
+
+
+def build(policy: str):
+    from speech_transcript_embeddings_tpu import config as config_lib
+    from speech_transcript_embeddings_tpu.models.dual_encoder import (
+        DualEncoderModel, template_params,
+    )
+    from speech_transcript_embeddings_tpu.ops import make_frontend
+    from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
+    from speech_transcript_embeddings_tpu.training.train_step import (
+        create_train_state, make_train_step,
+    )
+
+    asamps = AUDIO_SECONDS * 16000
+    m = config_lib.ModelConfig(dtype="bfloat16", remat=True)
+    m = dataclasses.replace(
+        m, text=dataclasses.replace(m.text, scan_bottom=7),
+        audio=dataclasses.replace(m.audio, scan_bottom=19,
+                                  use_flash_attention=True,
+                                  remat_policy=policy),
+        frontend=dataclasses.replace(m.frontend, use_pallas=True))
+    cfg = config_lib.ExperimentConfig(
+        model=m,
+        freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
+                                       audio_layers_to_unfreeze=5),
+        optimizer=config_lib.OptimizerConfig(learning_rate=5e-5,
+                                             warmup_steps=100),
+        data=config_lib.DataConfig(batch_size=BATCH, max_text_length=TEXT_LEN,
+                                   audio_buckets=(asamps,),
+                                   max_audio_samples=asamps),
+        train=config_lib.TrainConfig(num_epochs=1, accumulation_steps=1),
+    )
+    model = DualEncoderModel(cfg.model)
+    frontend = make_frontend(cfg.model.frontend)
+    params = template_params(model)
+    labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
+    trainable_labels, _ = opt_lib.split_params(labels, labels)
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
+                                total_steps=1000)
+    state = create_train_state(params, labels, tx)
+    step = make_train_step(cfg, model, frontend, tx)
+    return state, step, asamps, cfg
+
+
+def measure(policy: str):
+    import jax
+    state, step, asamps, cfg = build(policy)
+    rng = np.random.default_rng(0)
+    batch = {
+        "waveform": rng.normal(scale=0.05,
+                               size=(BATCH, asamps)).astype(np.float32),
+        "num_samples": rng.integers(asamps * 3 // 4, asamps,
+                                    size=BATCH).astype(np.int32),
+        "input_ids_pos": rng.integers(4, cfg.model.text.vocab_size,
+                                      size=(BATCH, TEXT_LEN)).astype(np.int32),
+        "attention_mask_pos": np.ones((BATCH, TEXT_LEN), np.int32),
+        "input_ids_neg": rng.integers(4, cfg.model.text.vocab_size,
+                                      size=(BATCH, TEXT_LEN)).astype(np.int32),
+        "attention_mask_neg": np.ones((BATCH, TEXT_LEN), np.int32),
+    }
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / MEASURE_STEPS
+    del state
+    return dt
+
+
+def main():
+    from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
+    enable()
+    results = {}
+    for policy in sys.argv[1:] or ("full", "save_flash"):
+        dt = measure(policy)
+        results[policy] = dt
+        print(f"{policy}: {dt * 1e3:.1f} ms/step "
+              f"({BATCH / dt:.1f} clips/s)", flush=True)
+    print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

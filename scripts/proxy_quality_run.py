@@ -14,8 +14,20 @@ encoders; everything else follows the flagship settings.
 
 Reports the per-epoch gap trajectory plus test gap and Recall@K, in the shape
 of BASELINE.md's table, for ROUND2.md.
+
+A second variant (``--loss global --no-cross-modal --samples 8192 --acc 1``)
+trains with the TPU-native global in-batch-negative InfoNCE (the BASELINE.json
+north-star objective) in the retrieval-meaningful configuration: the pairwise
+recipe only teaches clean-vs-corrupt separation, and with cross-modal fusion
+on, training optimizes *pair-fused* embeddings while Recall@K ranks the
+*independent* projection embeddings (fusion mixes the two modalities per
+pair, so fused embeddings cannot rank candidates) — measured on-chip, both
+leave retrieval at chance. With fusion off the global loss directly optimizes
+instance-level matching of the very embeddings retrieval ranks (the standard
+dual-encoder setup), so Recall@K / MRR should be read from this variant.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -27,7 +39,7 @@ from speech_transcript_embeddings_tpu.training.loop import run_experiment
 from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
 
 
-def build_config(out_dir: str) -> config_lib.ExperimentConfig:
+def build_config(out_dir: str, args) -> config_lib.ExperimentConfig:
     model = config_lib.ModelConfig(
         text=config_lib.TextEncoderConfig(
             vocab_size=512, hidden_size=256, num_layers=6, num_heads=4,
@@ -37,7 +49,9 @@ def build_config(out_dir: str) -> config_lib.ExperimentConfig:
             hidden_size=512, num_layers=6, num_heads=8,
             intermediate_size=2048, conv_kernel_size=31,
             left_max_rel_pos=64, right_max_rel_pos=8, scan_bottom=1),
-        heads=config_lib.HeadsConfig(projection_dim=256),
+        heads=config_lib.HeadsConfig(projection_dim=256,
+                                     use_cross_modal=not args.no_cross_modal,
+                                     use_word_alignment=not args.no_cross_modal),
         dtype="bfloat16", remat=True,
     )
     return config_lib.ExperimentConfig(
@@ -45,23 +59,33 @@ def build_config(out_dir: str) -> config_lib.ExperimentConfig:
         freeze=config_lib.FreezeConfig(
             mode="partial", text_layers_to_unfreeze=5,
             audio_layers_to_unfreeze=5),
-        loss=config_lib.LossConfig(),            # flagship pairwise recipe
+        loss=config_lib.LossConfig(kind=args.loss),
         optimizer=config_lib.OptimizerConfig(
             learning_rate=3e-4, warmup_steps=20),
         data=config_lib.DataConfig(
-            dataset="synthetic", num_synthetic_samples=2048, batch_size=32,
+            dataset="synthetic", num_synthetic_samples=args.samples,
+            batch_size=32,
             max_text_length=24, audio_buckets=(48000,),
             max_audio_samples=48000),
         train=config_lib.TrainConfig(
-            num_epochs=12, accumulation_steps=5,   # effective batch 160
+            num_epochs=args.epochs, accumulation_steps=args.acc,
             output_dir=out_dir, plot_every=4, log_every_batches=32),
     )
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/proxy_midsize"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="runs/proxy_midsize")
+    ap.add_argument("--loss", choices=("pairwise", "global"), default="pairwise")
+    ap.add_argument("--no-cross-modal", action="store_true",
+                    help="plain dual-encoder (retrieval-meaningful variant)")
+    ap.add_argument("--samples", type=int, default=2048)
+    ap.add_argument("--acc", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=12)
+    args = ap.parse_args()
+    out_dir = args.out_dir
     enable()
-    cfg = build_config(out_dir)
+    cfg = build_config(out_dir, args)
     results = run_experiment(cfg)
 
     summary = {

@@ -103,6 +103,13 @@ class AudioEncoderConfig:
     # (ops/flash_attention.py); falls back to the XLA path when attention
     # dropout is active in train mode. Auto-interprets off-TPU.
     use_flash_attention: bool = False
+    # remat policy for the per-block rematerialisation (ModelConfig.remat):
+    #  'full'       — recompute everything in the backward replay (max HBM saving)
+    #  'save_flash' — keep the flash kernel's (out, lse) so the replay skips
+    #                 re-running the forward attention kernel (+[B,T,H]+[B·h,T,1]
+    #                 per block of residency, ~15% step-time saving). Requires
+    #                 use_flash_attention; ignored otherwise.
+    remat_policy: str = "full"
 
     @property
     def head_dim(self) -> int:

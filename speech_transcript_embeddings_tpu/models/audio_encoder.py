@@ -132,6 +132,7 @@ class RelPositionAttention(nn.Module):
             out = flash_attention(
                 fold(q), fold(k), fold(v), dist_emb.astype(q.dtype), kv_mask,
                 num_heads=nh, left_max=c.left_max_rel_pos,
+                save_residuals=c.remat_policy == "save_flash",
                 interpret=jax.default_backend() != "tpu")
             out = out.reshape(b, nh, t, hd).transpose(0, 2, 1, 3).reshape(x.shape)
             return nn.Dense(h, dtype=self.dtype, name="out")(out)
@@ -238,8 +239,18 @@ class AudioEncoder(nn.Module):
         if attention_mask is not None:
             x = x * attention_mask[..., None].astype(x.dtype)
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
-        block_cls = (nn.remat(ConformerBlock, static_argnums=(3,))
-                     if self.remat else ConformerBlock)
+        if self.remat:
+            policy = None
+            if c.remat_policy == "save_flash" and c.use_flash_attention:
+                from speech_transcript_embeddings_tpu.ops.flash_attention import (
+                    FLASH_SAVE_NAMES,
+                )
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    *FLASH_SAVE_NAMES)
+            block_cls = nn.remat(ConformerBlock, static_argnums=(3,),
+                                 policy=policy)
+        else:
+            block_cls = ConformerBlock
         if c.scan_bottom:
             if not 0 < c.scan_bottom <= c.num_layers:
                 raise ValueError(f"scan_bottom {c.scan_bottom} out of range")

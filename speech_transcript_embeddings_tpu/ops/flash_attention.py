@@ -253,7 +253,9 @@ def _flash(q, k, v, e_pad, kmask, nh: int, num_pos: int, left: int,
     return out
 
 
-def _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left, interpret):
+def _prep_inputs(q, k, v, kmask):
+    """Scale q, pad all three to a BLOCK multiple, reduce the prefix mask to
+    per-row valid lengths."""
     bh, t, hd = q.shape
     t_pad = -(-t // BLOCK) * BLOCK
     inv_s = 1.0 / (hd ** 0.5)
@@ -261,19 +263,31 @@ def _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left, interpret):
     kp, vp = _pad_t(k, t_pad), _pad_t(v, t_pad)
     # contiguous-prefix key masks → one scalar valid length per batch row
     lengths = jnp.sum(kmask > 0, axis=-1).astype(jnp.int32)
-    full, col, e_spec, len_spec = _specs(t_pad, hd)
+    return q_s, kp, vp, lengths, t_pad
 
-    out, lse = pl.pallas_call(
+
+def _fwd_call(q_s, kp, vp, e_pad, lengths, nh, num_pos, left, t_pad,
+              interpret):
+    bh, _, hd = q_s.shape
+    full, col, e_spec, len_spec = _specs(t_pad, hd)
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, nh, num_pos, left, t_pad),
         grid=(bh,),
         in_specs=[full, full, full, e_spec, len_spec],
         out_specs=[full, col],
-        out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), q_s.dtype),
                    jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q_s, kp, vp, e_pad, lengths)
+
+
+def _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left, interpret):
+    t = q.shape[1]
+    q_s, kp, vp, lengths, t_pad = _prep_inputs(q, k, v, kmask)
+    out, lse = _fwd_call(q_s, kp, vp, e_pad, lengths, nh, num_pos, left,
+                         t_pad, interpret)
     return out[:, :t], (q_s, kp, vp, e_pad, lengths, kmask, out, lse)
 
 
@@ -317,9 +331,50 @@ def _flash_bwd(nh, num_pos, left, interpret, res, dout):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# Residual-saving variant for remat policies
+# -------------------------------------------
+# Under full per-block remat the backward replay re-runs the forward kernel
+# just to rebuild its (out, lse) residuals — the single most expensive piece
+# of the replay. This variant splits the op in two: the kernel runs once with
+# no vjp attached, its outputs are tagged with ``checkpoint_name`` so a
+# ``save_only_these_names('flash_out', 'flash_lse')`` remat policy keeps them,
+# and a second custom_vjp op consumes (q, k, v, E, mask, out, lse) — identity
+# on ``out`` forward, the flash backward kernel in reverse. The replay then
+# recomputes only the cheap projection matmuls feeding q/k/v.
+
+FLASH_SAVE_NAMES = ("flash_out", "flash_lse")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_apply(q, k, v, e_pad, kmask, out_pad, lse,
+                 nh, num_pos, left, interpret):
+    return out_pad[:, :q.shape[1]]
+
+
+def _flash_apply_fwd(q, k, v, e_pad, kmask, out_pad, lse,
+                     nh, num_pos, left, interpret):
+    t_pad = out_pad.shape[1]
+    q_s, kp, vp, lengths, t_pad2 = _prep_inputs(q, k, v, kmask)
+    assert t_pad2 == t_pad, (t_pad2, t_pad)
+    res = (q_s, kp, vp, e_pad, lengths, kmask, out_pad, lse)
+    return out_pad[:, :q.shape[1]], res
+
+
+def _flash_apply_bwd(nh, num_pos, left, interpret, res, dout):
+    dq, dk, dv, de, dkmask = _flash_bwd(nh, num_pos, left, interpret, res,
+                                        dout)
+    out_pad, lse = res[6], res[7]
+    return (dq, dk, dv, de, dkmask,
+            jnp.zeros_like(out_pad), jnp.zeros_like(lse))
+
+
+_flash_apply.defvjp(_flash_apply_fwd, _flash_apply_bwd)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     dist_embedding: jax.Array, kv_mask: jax.Array,
                     *, num_heads: int, left_max: int,
+                    save_residuals: bool = False,
                     interpret: bool = False) -> jax.Array:
     """Relative_key flash attention.
 
@@ -333,6 +388,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         scalar per row, held in SMEM.
       num_heads: heads per batch row (for mask indexing).
       left_max: the distance clamp's left extent L (clip(j-i, -L, R)).
+      save_residuals: tag the kernel's (out, lse) with
+        ``checkpoint_name('flash_out'/'flash_lse')`` so a
+        ``save_only_these_names(*FLASH_SAVE_NAMES)`` remat policy skips
+        re-running the forward kernel in the backward replay.
 
     Returns ``[B·num_heads, T, head_dim]`` attention outputs (pre out-proj).
     """
@@ -341,5 +400,18 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         raise ValueError(f"num_pos {num_pos} exceeds one lane tile ({BLOCK})")
     e_pad = jnp.zeros((BLOCK, hd), dist_embedding.dtype).at[:num_pos].set(
         dist_embedding)
-    return _flash(q, k, v, e_pad, kv_mask.astype(jnp.float32),
-                  num_heads, num_pos, left_max, interpret)
+    kmask = kv_mask.astype(jnp.float32)
+    if not save_residuals:
+        return _flash(q, k, v, e_pad, kmask, num_heads, num_pos, left_max,
+                      interpret)
+    from jax.ad_checkpoint import checkpoint_name
+    q_s, kp, vp, lengths, t_pad = _prep_inputs(
+        jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
+        jax.lax.stop_gradient(v), kmask)
+    out_pad, lse = _fwd_call(q_s, kp, vp, jax.lax.stop_gradient(e_pad),
+                             lengths, num_heads, num_pos, left_max, t_pad,
+                             interpret)
+    out_pad = checkpoint_name(out_pad, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return _flash_apply(q, k, v, e_pad, kmask, out_pad, lse,
+                        num_heads, num_pos, left_max, interpret)

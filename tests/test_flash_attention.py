@@ -76,11 +76,13 @@ def test_gradient_parity(inputs):
 
 
 def _module_cfg(**kw):
-    return AudioEncoderConfig(
+    base = dict(
         feature_dim=8, hidden_size=NH * HD, num_layers=1, num_heads=NH,
         intermediate_size=64, conv_kernel_size=7,
         left_max_rel_pos=L, right_max_rel_pos=R,
-        attention_dropout=0.0, apply_spec_augment=False, **kw)
+        attention_dropout=0.0, apply_spec_augment=False)
+    base.update(kw)
+    return AudioEncoderConfig(**base)
 
 
 def test_module_flash_matches_xla_path(inputs):
@@ -127,3 +129,67 @@ def test_tile_aligned_and_single_tile():
         ref = _ref_attn(q, k, v, e, jnp.ones((NH // NH, t)), L, R)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_save_residuals_gradient_parity(inputs):
+    """The two-phase save_residuals path (used by remat_policy='save_flash')
+    must produce identical outputs and gradients to the plain path."""
+    q, k, v, e, mask = inputs
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(B * NH, T, HD)).astype(np.float32))
+
+    def loss(save):
+        def f(q, k, v, e):
+            o = flash_attention(q, k, v, e, mask, num_heads=NH, left_max=L,
+                                save_residuals=save, interpret=True)
+            return jnp.sum(o * w)
+        return f
+
+    out_plain = flash_attention(q, k, v, e, mask, num_heads=NH, left_max=L,
+                                interpret=True)
+    out_saved = flash_attention(q, k, v, e, mask, num_heads=NH, left_max=L,
+                                save_residuals=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_saved), np.asarray(out_plain),
+                               rtol=1e-6, atol=1e-6)
+
+    g_plain = jax.grad(loss(False), argnums=(0, 1, 2, 3))(q, k, v, e)
+    g_saved = jax.grad(loss(True), argnums=(0, 1, 2, 3))(q, k, v, e)
+    for name, a, b in zip("qkve", g_saved, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=f"d{name}")
+
+
+def test_remat_policy_save_flash_matches_full():
+    """AudioEncoder under remat with policy='save_flash': same loss and
+    parameter gradients as the default full-recompute remat."""
+    from speech_transcript_embeddings_tpu.models.audio_encoder import AudioEncoder
+
+    rng = np.random.default_rng(5)
+    t = 96
+    feats = jnp.asarray(rng.normal(size=(2, t, 8)).astype(np.float32))
+    mask = jnp.asarray((np.arange(t)[None, :] <
+                        np.array([[t], [70]])).astype(np.int32))
+
+    def build(policy):
+        cfg = _module_cfg(num_layers=2, use_flash_attention=True,
+                          remat_policy=policy, conv_dropout=0.0)
+        return AudioEncoder(cfg, remat=True)
+
+    enc_full = build("full")
+    params = enc_full.init(jax.random.PRNGKey(0), feats, mask,
+                           deterministic=True)["params"]
+    enc_saved = build("save_flash")
+
+    def loss(enc, p):
+        o = enc.apply({"params": p}, feats, mask, deterministic=True)
+        return jnp.sum(o * o)
+
+    l_full, g_full = jax.value_and_grad(lambda p: loss(enc_full, p))(params)
+    l_saved, g_saved = jax.value_and_grad(lambda p: loss(enc_saved, p))(params)
+    np.testing.assert_allclose(float(l_saved), float(l_full), rtol=1e-6)
+    flat_full = jax.tree_util.tree_leaves_with_path(g_full)
+    flat_saved = dict(jax.tree_util.tree_leaves_with_path(g_saved))
+    for path, gf in flat_full:
+        np.testing.assert_allclose(
+            np.asarray(flat_saved[path]), np.asarray(gf),
+            rtol=1e-5, atol=1e-6, err_msg=str(path))
