@@ -53,7 +53,8 @@ def main():
     m = dataclasses.replace(
         m, text=dataclasses.replace(m.text, scan_bottom=7),
         audio=dataclasses.replace(m.audio, scan_bottom=19,
-                                  use_flash_attention=True),
+                                  use_flash_attention=True,
+                                  remat_policy="save_flash"),
         frontend=dataclasses.replace(m.frontend, use_pallas=True))
     cfg = config_lib.ExperimentConfig(
         model=m,

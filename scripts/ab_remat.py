@@ -10,10 +10,13 @@ save_flash (config.py AudioEncoderConfig.remat_policy).
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 64
 AUDIO_SECONDS = 10

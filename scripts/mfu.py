@@ -67,7 +67,8 @@ def _flagship(batch, asamps, tlen, counting: bool, remat: bool = True):
         m = dataclasses.replace(
             m, text=dataclasses.replace(m.text, scan_bottom=7),
             audio=dataclasses.replace(m.audio, scan_bottom=19,
-                                      use_flash_attention=True),
+                                      use_flash_attention=True,
+                                      remat_policy="save_flash"),
             frontend=dataclasses.replace(m.frontend, use_pallas=True))
     return config_lib.ExperimentConfig(
         model=m,

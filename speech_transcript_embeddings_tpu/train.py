@@ -51,7 +51,8 @@ def build_config(argv) -> config_lib.ExperimentConfig:
             model=config_lib.ModelConfig(
                 text=config_lib.TextEncoderConfig(scan_bottom=7),
                 audio=config_lib.AudioEncoderConfig(
-                    scan_bottom=19, use_flash_attention=True),
+                    scan_bottom=19, use_flash_attention=True,
+                    remat_policy="save_flash"),
                 frontend=config_lib.FrontendConfig(use_pallas=True),
             ),
             freeze=config_lib.FreezeConfig(
