@@ -75,13 +75,46 @@ def _part_kind(lo: int, hi: int, left: int, num_pos: int):
 
 def _sel_matrix(delta: int, offs: int, left: int, num_pos: int, dtype):
     """One-hot Sel[d, m] = [clip(delta + m + offs + left) == d], built from
-    iotas (VPU) so the column selection runs as one MXU matmul."""
+    iotas so the column selection runs as one MXU matmul. The matrices are
+    static per (delta, offs): they are built HOST-side once and shipped into
+    the kernel as a stacked VMEM input (``_banded_sels``) — constructing them
+    in-kernel per sub-block was the kernel's VPU bottleneck (~6.5 µs/grid-step
+    of iota/clip/eq against ~1 µs of MXU work, measured round 2)."""
     dd = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
     mm = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
     return (jnp.clip(delta + mm + offs + left, 0, num_pos - 1) == dd).astype(dtype)
 
 
-def _sub_bias(qe, delta: int, left: int, num_pos: int):
+@functools.lru_cache(maxsize=None)
+def _selmap_for(t_pad: int, left: int, num_pos: int):
+    """Static ((delta, offs) → index) table of the banded sub-block cases at
+    this geometry — O(window/128) entries (4 at the flagship L=64/R=8),
+    independent of T. Shared by the wrapper (which builds the matching Sel
+    stack) and both kernels (which index it)."""
+    entries = []
+    nblk = t_pad // BLOCK
+    for d in range(-(nblk - 1), nblk):
+        delta = d * BLOCK
+        for offs in (0, -BLOCK):
+            lo = delta + (0 if offs == 0 else -BLOCK + 1)
+            hi = delta + (BLOCK - 1 if offs == 0 else -1)
+            if _part_kind(lo, hi, left, num_pos)[0] == "band":
+                entries.append(((delta, offs), len(entries)))
+    return tuple(entries)
+
+
+def _banded_sels(t_pad: int, left: int, num_pos: int, dtype):
+    """Host-built [n, 128, 128] stack of the banded Sel matrices, in the
+    order of ``_selmap_for``."""
+    selmap = _selmap_for(t_pad, left, num_pos)
+    mats = [_sel_matrix(delta, offs, left, num_pos, dtype)
+            for (delta, offs), _ in selmap]
+    if not mats:                       # degenerate window: keep a valid input
+        mats.append(jnp.zeros((BLOCK, BLOCK), dtype))
+    return jnp.stack(mats)
+
+
+def _sub_bias(qe, sel_ref, selmap, delta: int, left: int, num_pos: int):
     """Bias for one 128×128 sub-block at static offset delta (f32).
 
     qe: [128, 128] (d-padded) in compute dtype. Case A covers j ≥ i
@@ -90,7 +123,7 @@ def _sub_bias(qe, delta: int, left: int, num_pos: int):
         kind, col = _part_kind(lo, hi, left, num_pos)
         if kind == "const":
             return qe[:, col:col + 1].astype(jnp.float32)       # [128, 1]
-        sel = _sel_matrix(delta, offs, left, num_pos, qe.dtype)
+        sel = sel_ref[selmap[(delta, offs)]]
         a = jax.lax.dot_general(qe, sel, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         # shear onto the (i, j) grid: out[i, j] = a[i, (j - i) mod 128]
@@ -103,7 +136,8 @@ def _sub_bias(qe, delta: int, left: int, num_pos: int):
     return jnp.where(jj >= ii, part_a, part_b)
 
 
-def _bias_rows(qe, q0: int, t_pad: int, left: int, num_pos: int):
+def _bias_rows(qe, sel_ref, selmap, q0: int, t_pad: int, left: int,
+               num_pos: int):
     """Bias strip [bq, t_pad] (f32) for q rows [q0, q0+bq), assembled from
     128-aligned sub-blocks (Mosaic concatenates aligned tiles cheaply)."""
     bq = qe.shape[0]
@@ -111,14 +145,16 @@ def _bias_rows(qe, q0: int, t_pad: int, left: int, num_pos: int):
     for qs in range(bq // BLOCK):
         qe_blk = qe[qs * BLOCK:(qs + 1) * BLOCK]
         row = [jnp.broadcast_to(
-                   _sub_bias(qe_blk, ks * BLOCK - (q0 + qs * BLOCK), left,
+                   _sub_bias(qe_blk, sel_ref, selmap,
+                             ks * BLOCK - (q0 + qs * BLOCK), left,
                              num_pos), (BLOCK, BLOCK))
                for ks in range(t_pad // BLOCK)]
         strips.append(jnp.concatenate(row, axis=1) if len(row) > 1 else row[0])
     return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
 
 
-def _dqe_rows(ds, q0: int, t_pad: int, left: int, num_pos: int):
+def _dqe_rows(ds, sel_ref, selmap, q0: int, t_pad: int, left: int,
+              num_pos: int):
     """Gradient through the bias: d(qE) strip [bq, 128] (f32) from dS."""
     bq = ds.shape[0]
     ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
@@ -145,10 +181,12 @@ def _dqe_rows(ds, q0: int, t_pad: int, left: int, num_pos: int):
                     acc += (jnp.sum(masked, axis=1, keepdims=True)
                             * onehot_col(col))
                 else:
-                    sel_t = jnp.transpose(
-                        _sel_matrix(delta, offs, left, num_pos, jnp.float32))
+                    # one-hot entries are bf16-exact: casting the shipped
+                    # compute-dtype Sel to f32 is lossless
+                    sel = sel_ref[selmap[(delta, offs)]].astype(jnp.float32)
+                    # x·selᵀ == dot_general contracting dim 1 with dim 1
                     acc += jax.lax.dot_general(
-                        _unshear(masked), sel_t, (((1,), (0,)), ((), ())),
+                        _unshear(masked), sel, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
         strips.append(acc)
     return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
@@ -160,8 +198,10 @@ def _chunk(t_pad: int) -> int:
     return 512 if t_pad <= 1024 else 256
 
 
-def _fwd_kernel(nh, num_pos, left, t_pad,
-                q_ref, k_ref, v_ref, e_ref, len_ref, out_ref, lse_ref):
+def _fwd_kernel(nh, num_pos, left, t_pad, selmap,
+                q_ref, k_ref, v_ref, e_ref, sel_ref, len_ref,
+                out_ref, lse_ref):
+    selmap = dict(selmap)
     limit = len_ref[pl.program_id(0) // nh]
     k, v = k_ref[0], v_ref[0]
     kmask = jnp.where(
@@ -174,7 +214,8 @@ def _fwd_kernel(nh, num_pos, left, t_pad,
                                  ).astype(q.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s + _bias_rows(qe, q0, t_pad, left, num_pos) + kmask
+        s = s + _bias_rows(qe, sel_ref, selmap, q0, t_pad, left,
+                           num_pos) + kmask
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
@@ -185,9 +226,10 @@ def _fwd_kernel(nh, num_pos, left, t_pad,
         lse_ref[0, q0:q0 + bq] = m + jnp.log(l)
 
 
-def _bwd_kernel(nh, num_pos, left, t_pad,
-                q_ref, k_ref, v_ref, e_ref, len_ref, do_ref, lse_ref, dd_ref,
-                dq_ref, dk_ref, dv_ref, de_ref):
+def _bwd_kernel(nh, num_pos, left, t_pad, selmap,
+                q_ref, k_ref, v_ref, e_ref, sel_ref, len_ref, do_ref, lse_ref,
+                dd_ref, dq_ref, dk_ref, dv_ref, de_ref):
+    selmap = dict(selmap)
     limit = len_ref[pl.program_id(0) // nh]
     k, v, e = k_ref[0], v_ref[0], e_ref[:]
     kmask = jnp.where(
@@ -205,7 +247,8 @@ def _bwd_kernel(nh, num_pos, left, t_pad,
                                  ).astype(q.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s + _bias_rows(qe, q0, t_pad, left, num_pos) + kmask
+        s = s + _bias_rows(qe, sel_ref, selmap, q0, t_pad, left,
+                           num_pos) + kmask
         p = jnp.exp(s - lse_ref[0, q0:q0 + bq])
         dv_acc += jax.lax.dot_general(p.astype(do.dtype), do,
                                       (((0,), (0,)), ((), ())),
@@ -218,7 +261,7 @@ def _bwd_kernel(nh, num_pos, left, t_pad,
                                  preferred_element_type=jnp.float32)
         dk_acc += jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dqe = _dqe_rows(ds, q0, t_pad, left, num_pos)
+        dqe = _dqe_rows(ds, sel_ref, selmap, q0, t_pad, left, num_pos)
         dq = dq + jax.lax.dot_general(dqe.astype(e.dtype), e,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -245,10 +288,10 @@ def _specs(t_pad, hd):
     return full, col, e_spec, len_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash(q, k, v, e_pad, kmask, nh: int, num_pos: int, left: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash(q, k, v, e_pad, sels, kmask, nh: int, num_pos: int, left: int,
            interpret: bool = False):
-    out, _ = _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left,
+    out, _ = _flash_fwd_impl(q, k, v, e_pad, sels, kmask, nh, num_pos, left,
                              interpret)
     return out
 
@@ -266,37 +309,40 @@ def _prep_inputs(q, k, v, kmask):
     return q_s, kp, vp, lengths, t_pad
 
 
-def _fwd_call(q_s, kp, vp, e_pad, lengths, nh, num_pos, left, t_pad,
+def _fwd_call(q_s, kp, vp, e_pad, sels, lengths, nh, num_pos, left, t_pad,
               interpret):
     bh, _, hd = q_s.shape
     full, col, e_spec, len_spec = _specs(t_pad, hd)
+    selmap = _selmap_for(t_pad, left, num_pos)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, nh, num_pos, left, t_pad),
+        functools.partial(_fwd_kernel, nh, num_pos, left, t_pad, selmap),
         grid=(bh,),
-        in_specs=[full, full, full, e_spec, len_spec],
+        in_specs=[full, full, full, e_spec, e_spec, len_spec],
         out_specs=[full, col],
         out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), q_s.dtype),
                    jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(q_s, kp, vp, e_pad, lengths)
+    )(q_s, kp, vp, e_pad, sels, lengths)
 
 
-def _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left, interpret):
+def _flash_fwd_impl(q, k, v, e_pad, sels, kmask, nh, num_pos, left,
+                    interpret):
     t = q.shape[1]
     q_s, kp, vp, lengths, t_pad = _prep_inputs(q, k, v, kmask)
-    out, lse = _fwd_call(q_s, kp, vp, e_pad, lengths, nh, num_pos, left,
+    out, lse = _fwd_call(q_s, kp, vp, e_pad, sels, lengths, nh, num_pos, left,
                          t_pad, interpret)
-    return out[:, :t], (q_s, kp, vp, e_pad, lengths, kmask, out, lse)
+    return out[:, :t], (q_s, kp, vp, e_pad, sels, lengths, kmask, out, lse)
 
 
-def _flash_fwd(q, k, v, e_pad, kmask, nh, num_pos, left, interpret):
-    return _flash_fwd_impl(q, k, v, e_pad, kmask, nh, num_pos, left, interpret)
+def _flash_fwd(q, k, v, e_pad, sels, kmask, nh, num_pos, left, interpret):
+    return _flash_fwd_impl(q, k, v, e_pad, sels, kmask, nh, num_pos, left,
+                           interpret)
 
 
 def _flash_bwd(nh, num_pos, left, interpret, res, dout):
-    q_s, kp, vp, e_pad, lengths, kmask, out_pad, lse = res
+    q_s, kp, vp, e_pad, sels, lengths, kmask, out_pad, lse = res
     bh, t_pad, hd = q_s.shape
     t = dout.shape[1]
     inv_s = 1.0 / (hd ** 0.5)
@@ -304,11 +350,12 @@ def _flash_bwd(nh, num_pos, left, interpret, res, dout):
     dd = jnp.sum(do.astype(jnp.float32) * out_pad.astype(jnp.float32),
                  axis=-1, keepdims=True)                    # [bh, t_pad, 1]
     full, col, e_spec, len_spec = _specs(t_pad, hd)
+    selmap = _selmap_for(t_pad, left, num_pos)
 
     dq, dk, dv, de_bh = pl.pallas_call(
-        functools.partial(_bwd_kernel, nh, num_pos, left, t_pad),
+        functools.partial(_bwd_kernel, nh, num_pos, left, t_pad, selmap),
         grid=(bh,),
-        in_specs=[full, full, full, e_spec, len_spec, full, col, col],
+        in_specs=[full, full, full, e_spec, e_spec, len_spec, full, col, col],
         out_specs=[full,
                    pl.BlockSpec((1, t_pad, hd), lambda bh_: (bh_, 0, 0)),
                    pl.BlockSpec((1, t_pad, hd), lambda bh_: (bh_, 0, 0)),
@@ -320,12 +367,12 @@ def _flash_bwd(nh, num_pos, left, interpret, res, dout):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(q_s, kp, vp, e_pad, lengths, do, lse, dd)
+    )(q_s, kp, vp, e_pad, sels, lengths, do, lse, dd)
 
     dq = (dq[:, :t] * inv_s).astype(q_s.dtype)
     de = jnp.sum(de_bh, axis=0).astype(e_pad.dtype)
     return (dq, dk[:, :t].astype(kp.dtype), dv[:, :t].astype(vp.dtype),
-            de, jnp.zeros_like(kmask))
+            de, jnp.zeros_like(sels), jnp.zeros_like(kmask))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -345,26 +392,26 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 FLASH_SAVE_NAMES = ("flash_out", "flash_lse")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _flash_apply(q, k, v, e_pad, kmask, out_pad, lse,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _flash_apply(q, k, v, e_pad, sels, kmask, out_pad, lse,
                  nh, num_pos, left, interpret):
     return out_pad[:, :q.shape[1]]
 
 
-def _flash_apply_fwd(q, k, v, e_pad, kmask, out_pad, lse,
+def _flash_apply_fwd(q, k, v, e_pad, sels, kmask, out_pad, lse,
                      nh, num_pos, left, interpret):
     t_pad = out_pad.shape[1]
     q_s, kp, vp, lengths, t_pad2 = _prep_inputs(q, k, v, kmask)
     assert t_pad2 == t_pad, (t_pad2, t_pad)
-    res = (q_s, kp, vp, e_pad, lengths, kmask, out_pad, lse)
+    res = (q_s, kp, vp, e_pad, sels, lengths, kmask, out_pad, lse)
     return out_pad[:, :q.shape[1]], res
 
 
 def _flash_apply_bwd(nh, num_pos, left, interpret, res, dout):
-    dq, dk, dv, de, dkmask = _flash_bwd(nh, num_pos, left, interpret, res,
-                                        dout)
-    out_pad, lse = res[6], res[7]
-    return (dq, dk, dv, de, dkmask,
+    dq, dk, dv, de, dsels, dkmask = _flash_bwd(nh, num_pos, left, interpret,
+                                               res, dout)
+    out_pad, lse = res[7], res[8]
+    return (dq, dk, dv, de, dsels, dkmask,
             jnp.zeros_like(out_pad), jnp.zeros_like(lse))
 
 
@@ -401,17 +448,22 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     e_pad = jnp.zeros((BLOCK, hd), dist_embedding.dtype).at[:num_pos].set(
         dist_embedding)
     kmask = kv_mask.astype(jnp.float32)
+    t_pad = -(-q.shape[1] // BLOCK) * BLOCK
+    # static one-hot column-selection matrices for the banded sub-blocks,
+    # built host-side once (XLA constant-folds them) instead of per grid step
+    sels = _banded_sels(t_pad, left_max, num_pos, q.dtype)
     if not save_residuals:
-        return _flash(q, k, v, e_pad, kmask, num_heads, num_pos, left_max,
-                      interpret)
+        return _flash(q, k, v, e_pad, sels, kmask, num_heads, num_pos,
+                      left_max, interpret)
     from jax.ad_checkpoint import checkpoint_name
-    q_s, kp, vp, lengths, t_pad = _prep_inputs(
+    q_s, kp, vp, lengths, t_pad2 = _prep_inputs(
         jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
         jax.lax.stop_gradient(v), kmask)
     out_pad, lse = _fwd_call(q_s, kp, vp, jax.lax.stop_gradient(e_pad),
-                             lengths, num_heads, num_pos, left_max, t_pad,
+                             jax.lax.stop_gradient(sels),
+                             lengths, num_heads, num_pos, left_max, t_pad2,
                              interpret)
     out_pad = checkpoint_name(out_pad, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
-    return _flash_apply(q, k, v, e_pad, kmask, out_pad, lse,
+    return _flash_apply(q, k, v, e_pad, sels, kmask, out_pad, lse,
                         num_heads, num_pos, left_max, interpret)
