@@ -198,15 +198,17 @@ def _chunk(t_pad: int) -> int:
     return 512 if t_pad <= 1024 else 256
 
 
+
+
 def _fwd_kernel(nh, num_pos, left, t_pad, selmap,
                 q_ref, k_ref, v_ref, e_ref, sel_ref, len_ref,
                 out_ref, lse_ref):
     selmap = dict(selmap)
+    bq = _chunk(t_pad)
     limit = len_ref[pl.program_id(0) // nh]
     k, v = k_ref[0], v_ref[0]
     kmask = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1) < limit, 0.0, NEG)
-    bq = _chunk(t_pad)
     for q0 in range(0, t_pad, bq):
         q = q_ref[0, q0:q0 + bq]
         qe = jax.lax.dot_general(q, e_ref[:], (((1,), (1,)), ((), ())),
@@ -226,19 +228,27 @@ def _fwd_kernel(nh, num_pos, left, t_pad, selmap,
         lse_ref[0, q0:q0 + bq] = m + jnp.log(l)
 
 
+def _bwd_chunk(t_pad: int) -> int:
+    """Backward q-chunk: smaller than the forward's — the bwd body keeps ~9
+    [bq, t_pad] f32 temporaries live (s, p, dp, ds, bias strip, unshear/dqe
+    intermediates), and bq=256 measured fastest in the on-chip sweep."""
+    return min(_chunk(t_pad), 256)
+
+
 def _bwd_kernel(nh, num_pos, left, t_pad, selmap,
                 q_ref, k_ref, v_ref, e_ref, sel_ref, len_ref, do_ref, lse_ref,
                 dd_ref, dq_ref, dk_ref, dv_ref, de_ref):
     selmap = dict(selmap)
+    bq = _bwd_chunk(t_pad)
+    e = e_ref[:]
     limit = len_ref[pl.program_id(0) // nh]
-    k, v, e = k_ref[0], v_ref[0], e_ref[:]
+    k, v = k_ref[0], v_ref[0]
     kmask = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1) < limit, 0.0, NEG)
     hd = k.shape[-1]
     dk_acc = jnp.zeros((t_pad, hd), jnp.float32)
     dv_acc = jnp.zeros((t_pad, hd), jnp.float32)
     de_acc = jnp.zeros((BLOCK, hd), jnp.float32)
-    bq = _chunk(t_pad)
     for q0 in range(0, t_pad, bq):
         q = q_ref[0, q0:q0 + bq]
         do = do_ref[0, q0:q0 + bq]
@@ -268,9 +278,9 @@ def _bwd_kernel(nh, num_pos, left, t_pad, selmap,
         de_acc += jax.lax.dot_general(dqe, q.astype(jnp.float32),
                                       (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dq_ref[0, q0:q0 + bq] = dq
-    dk_ref[0] = dk_acc
-    dv_ref[0] = dv_acc
+        dq_ref[0, q0:q0 + bq] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
     de_ref[0] = de_acc
 
 
@@ -281,8 +291,8 @@ def _pad_t(x, t_pad):
 
 
 def _specs(t_pad, hd):
-    full = pl.BlockSpec((1, t_pad, hd), lambda bh: (bh, 0, 0))
-    col = pl.BlockSpec((1, t_pad, 1), lambda bh: (bh, 0, 0))
+    full = pl.BlockSpec((1, t_pad, hd), lambda i: (i, 0, 0))
+    col = pl.BlockSpec((1, t_pad, 1), lambda i: (i, 0, 0))
     e_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return full, col, e_spec, len_spec
@@ -349,6 +359,13 @@ def _flash_bwd(nh, num_pos, left, interpret, res, dout):
     do = _pad_t(dout, t_pad)
     dd = jnp.sum(do.astype(jnp.float32) * out_pad.astype(jnp.float32),
                  axis=-1, keepdims=True)                    # [bh, t_pad, 1]
+    # dq/dk/dv leave the kernel in the INPUT dtype: accumulation stays f32
+    # in-VMEM, only the final store downcasts (downstream casts to the input
+    # dtype anyway) — halves output VMEM + HBM traffic. One row per grid
+    # step: scripts/flash_vmem_sweep.py measured fwd+bwd flat across 1-4
+    # rows folded per step (the kernels pipeline DMAs across grid steps
+    # fine), so take the smallest VMEM footprint.
+    grad_dtype = q_s.dtype
     full, col, e_spec, len_spec = _specs(t_pad, hd)
     selmap = _selmap_for(t_pad, left, num_pos)
 
@@ -357,19 +374,19 @@ def _flash_bwd(nh, num_pos, left, interpret, res, dout):
         grid=(bh,),
         in_specs=[full, full, full, e_spec, e_spec, len_spec, full, col, col],
         out_specs=[full,
-                   pl.BlockSpec((1, t_pad, hd), lambda bh_: (bh_, 0, 0)),
-                   pl.BlockSpec((1, t_pad, hd), lambda bh_: (bh_, 0, 0)),
-                   pl.BlockSpec((1, BLOCK, hd), lambda bh_: (bh_, 0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, t_pad, hd), jnp.float32),
+                   pl.BlockSpec((1, t_pad, hd), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, t_pad, hd), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, BLOCK, hd), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((bh, t_pad, hd), grad_dtype),
+                   jax.ShapeDtypeStruct((bh, t_pad, hd), grad_dtype),
+                   jax.ShapeDtypeStruct((bh, t_pad, hd), grad_dtype),
                    jax.ShapeDtypeStruct((bh, BLOCK, hd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q_s, kp, vp, e_pad, sels, lengths, do, lse, dd)
 
-    dq = (dq[:, :t] * inv_s).astype(q_s.dtype)
+    dq = (dq[:, :t].astype(jnp.float32) * inv_s).astype(q_s.dtype)
     de = jnp.sum(de_bh, axis=0).astype(e_pad.dtype)
     return (dq, dk[:, :t].astype(kp.dtype), dv[:, :t].astype(vp.dtype),
             de, jnp.zeros_like(sels), jnp.zeros_like(kmask))
