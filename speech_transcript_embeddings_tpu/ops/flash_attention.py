@@ -33,9 +33,10 @@ qE[i, c(Δ + j − i)]`` splits by the sign of j−i into two column-selections 
 
 the two cases merge under the triangular mask j ≥ i. The backward pass is one
 more kernel producing dq, dk, dv **and dE** (the learned distance embedding's
-gradient): dS is un-sheared back to band coordinates — Mosaic caps per-vreg
-rotate shifts at the vreg width, so the inverse shear is 7 constant rotates
-selected by the row index's bits — and the Sel matmuls run transposed.
+gradient): dS is un-sheared back to band coordinates via rev∘shear∘rev (one
+supported ``stride=1`` roll between two anti-identity MXU matmuls, the
+trailing one folded into the column-reversed Sel stack) and the Sel matmuls
+contract over their transposed dims.
 """
 
 from __future__ import annotations
@@ -51,14 +52,14 @@ BLOCK = 128
 NEG = -1e30
 
 
-def _unshear(x):
-    """Inverse shear: u[i, m] = x[i, (m + i) mod 128] via 7 constant rotates
-    (shift −i = Σ_b −2^b over i's set bits, composed additively)."""
-    ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-    for b in range(7):                       # 2^7 == BLOCK
-        rolled = pltpu.roll(x, shift=BLOCK - (1 << b), axis=1)
-        x = jnp.where((ii >> b) & 1 == 1, rolled, x)
-    return x
+# The backward must un-shear dS back to band coordinates: u[i, m] =
+# x[i, (m + i) mod 128]. Mosaic only lowers non-negative per-vreg roll
+# strides capped at the vreg width, so neither ``stride=-1`` nor
+# ``stride=127`` exists. Instead use rev∘shear∘rev: with J the anti-identity,
+# unshear(x) = (roll(x·J, stride=1))·J, and the trailing ·J folds into the
+# Sel selection host-side (``_banded_sels(reverse_cols=True)``) — one
+# supported roll plus MXU matmuls, replacing the previous 7-rotate/select
+# ladder (ablated at ~2.9 ms of the 8.3 ms/layer backward).
 
 
 def _part_kind(lo: int, hi: int, left: int, num_pos: int):
@@ -103,12 +104,23 @@ def _selmap_for(t_pad: int, left: int, num_pos: int):
     return tuple(entries)
 
 
-def _banded_sels(t_pad: int, left: int, num_pos: int, dtype):
-    """Host-built [n, 128, 128] stack of the banded Sel matrices, in the
-    order of ``_selmap_for``."""
+def _banded_sels(t_pad: int, left: int, num_pos: int, dtype,
+                 reverse_cols: bool = False):
+    """Host-built [n(+1), 128, 128] stack of the banded Sel matrices, in the
+    order of ``_selmap_for``.
+
+    With ``reverse_cols`` (the backward's stack) each Sel gets its columns
+    reversed — folding the trailing anti-identity of the rev∘shear∘rev
+    unshear into the selection — and the anti-identity J itself is appended
+    as the LAST slice (index ``len(selmap)``) for the in-kernel ``x·J``."""
     selmap = _selmap_for(t_pad, left, num_pos)
     mats = [_sel_matrix(delta, offs, left, num_pos, dtype)
             for (delta, offs), _ in selmap]
+    if reverse_cols:
+        mats = [m[:, ::-1] for m in mats]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+        mats.append((jj == BLOCK - 1 - ii).astype(dtype))          # J
     if not mats:                       # degenerate window: keep a valid input
         mats.append(jnp.zeros((BLOCK, BLOCK), dtype))
     return jnp.stack(mats)
@@ -153,10 +165,16 @@ def _bias_rows(qe, sel_ref, selmap, q0: int, t_pad: int, left: int,
     return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
 
 
-def _dqe_rows(ds, sel_ref, selmap, q0: int, t_pad: int, left: int,
+def _dqe_rows(ds, selb_ref, selmap, q0: int, t_pad: int, left: int,
               num_pos: int):
-    """Gradient through the bias: d(qE) strip [bq, 128] (f32) from dS."""
+    """Gradient through the bias: d(qE) strip [bq, 128] (f32) from dS.
+
+    ``selb_ref`` is the backward Sel stack (columns reversed, anti-identity J
+    appended): the banded contribution ``unshear(x)·selᵀ`` is computed as
+    ``roll(x·J, stride=1)·sel_revᵀ`` — one supported strided roll plus two
+    MXU matmuls per banded sub-block (see the unshear note above)."""
     bq = ds.shape[0]
+    n_j = len(selmap)                       # J's slice index in the stack
     ii = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
     tri_a = (jj >= ii).astype(jnp.float32)
@@ -182,11 +200,17 @@ def _dqe_rows(ds, sel_ref, selmap, q0: int, t_pad: int, left: int,
                             * onehot_col(col))
                 else:
                     # one-hot entries are bf16-exact: casting the shipped
-                    # compute-dtype Sel to f32 is lossless
-                    sel = sel_ref[selmap[(delta, offs)]].astype(jnp.float32)
+                    # compute-dtype matrices to f32 is lossless
+                    jmat = selb_ref[n_j].astype(jnp.float32)
+                    sel2 = selb_ref[selmap[(delta, offs)]].astype(jnp.float32)
+                    w = jax.lax.dot_general(
+                        masked, jmat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    w = pltpu.roll(w, shift=0, axis=1, stride=1,
+                                   stride_axis=0)
                     # x·selᵀ == dot_general contracting dim 1 with dim 1
                     acc += jax.lax.dot_general(
-                        _unshear(masked), sel, (((1,), (1,)), ((), ())),
+                        w, sel2, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
         strips.append(acc)
     return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
@@ -236,8 +260,8 @@ def _bwd_chunk(t_pad: int) -> int:
 
 
 def _bwd_kernel(nh, num_pos, left, t_pad, selmap,
-                q_ref, k_ref, v_ref, e_ref, sel_ref, len_ref, do_ref, lse_ref,
-                dd_ref, dq_ref, dk_ref, dv_ref, de_ref):
+                q_ref, k_ref, v_ref, e_ref, sel_ref, selb_ref, len_ref,
+                do_ref, lse_ref, dd_ref, dq_ref, dk_ref, dv_ref, de_ref):
     selmap = dict(selmap)
     bq = _bwd_chunk(t_pad)
     e = e_ref[:]
@@ -271,7 +295,8 @@ def _bwd_kernel(nh, num_pos, left, t_pad, selmap,
                                  preferred_element_type=jnp.float32)
         dk_acc += jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dqe = _dqe_rows(ds, sel_ref, selmap, q0, t_pad, left, num_pos)
+        dqe = _dqe_rows(ds, selb_ref, selmap, q0, t_pad, left,
+                        num_pos)
         dq = dq + jax.lax.dot_general(dqe.astype(e.dtype), e,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -368,11 +393,14 @@ def _flash_bwd(nh, num_pos, left, interpret, res, dout):
     grad_dtype = q_s.dtype
     full, col, e_spec, len_spec = _specs(t_pad, hd)
     selmap = _selmap_for(t_pad, left, num_pos)
+    # backward Sel stack (reversed cols + J), a trace-time constant
+    selsb = _banded_sels(t_pad, left, num_pos, sels.dtype, reverse_cols=True)
 
     dq, dk, dv, de_bh = pl.pallas_call(
         functools.partial(_bwd_kernel, nh, num_pos, left, t_pad, selmap),
         grid=(bh,),
-        in_specs=[full, full, full, e_spec, e_spec, len_spec, full, col, col],
+        in_specs=[full, full, full, e_spec, e_spec, e_spec, len_spec, full,
+                  col, col],
         out_specs=[full,
                    pl.BlockSpec((1, t_pad, hd), lambda i: (i, 0, 0)),
                    pl.BlockSpec((1, t_pad, hd), lambda i: (i, 0, 0)),
@@ -384,7 +412,7 @@ def _flash_bwd(nh, num_pos, left, interpret, res, dout):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(q_s, kp, vp, e_pad, sels, lengths, do, lse, dd)
+    )(q_s, kp, vp, e_pad, sels, selsb, lengths, do, lse, dd)
 
     dq = (dq[:, :t].astype(jnp.float32) * inv_s).astype(q_s.dtype)
     de = jnp.sum(de_bh, axis=0).astype(e_pad.dtype)
