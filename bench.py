@@ -78,29 +78,43 @@ def main():
     del params
     train_step = make_train_step(cfg, model, frontend, tx)
 
+    # device-resident batches: the training loop overlaps H2D with compute via
+    # async device_put in the prefetch worker (loop.py), so the steady-state
+    # step cost is compute-only — measure that, not the transfer. One DISTINCT
+    # batch per measured step: repeating one device batch lets a relay-cached
+    # execution short-circuit (measured 7000+ "clips/s"), which is not a
+    # measurement of anything.
     rng = np.random.default_rng(0)
-    batch = {
-        "waveform": rng.normal(scale=0.05, size=(BATCH, asamps)).astype(np.float32),
-        "num_samples": rng.integers(asamps * 3 // 4, asamps,
-                                    size=BATCH).astype(np.int32),
-        "input_ids_pos": rng.integers(
-            4, cfg.model.text.vocab_size, size=(BATCH, TEXT_LEN)).astype(np.int32),
-        "attention_mask_pos": np.ones((BATCH, TEXT_LEN), np.int32),
-        "input_ids_neg": rng.integers(
-            4, cfg.model.text.vocab_size, size=(BATCH, TEXT_LEN)).astype(np.int32),
-        "attention_mask_neg": np.ones((BATCH, TEXT_LEN), np.int32),
-    }
+
+    def make_batch():
+        return jax.device_put({
+            "waveform": rng.normal(
+                scale=0.05, size=(BATCH, asamps)).astype(np.float32),
+            "num_samples": rng.integers(asamps * 3 // 4, asamps,
+                                        size=BATCH).astype(np.int32),
+            "input_ids_pos": rng.integers(
+                4, cfg.model.text.vocab_size,
+                size=(BATCH, TEXT_LEN)).astype(np.int32),
+            "attention_mask_pos": np.ones((BATCH, TEXT_LEN), np.int32),
+            "input_ids_neg": rng.integers(
+                4, cfg.model.text.vocab_size,
+                size=(BATCH, TEXT_LEN)).astype(np.int32),
+            "attention_mask_neg": np.ones((BATCH, TEXT_LEN), np.int32),
+        })
+
+    batches = [make_batch() for _ in range(WARMUP_STEPS + MEASURE_STEPS)]
+    jax.block_until_ready(batches)
 
     key = jax.random.PRNGKey(1)
     for i in range(WARMUP_STEPS):
         key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
+        state, metrics = train_step(state, batches[i], sub)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
+        state, metrics = train_step(state, batches[WARMUP_STEPS + i], sub)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 

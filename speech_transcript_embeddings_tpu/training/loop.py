@@ -234,8 +234,12 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     if mesh.size > 1:
         logger.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     state = place_state(state)
+    # async H2D: device_put returns immediately with the transfer in flight,
+    # so placing batches in the prefetch worker overlaps the copy with the
+    # previous step's compute (the reference blocks on .cuda() per batch,
+    # trainer_unfreeze.py:1026-1040)
     place_batch = (lambda b: mesh_lib.shard_batch(mesh, b)) if mesh.size > 1 \
-        else (lambda b: b)
+        else jax.device_put
 
     start_epoch = 1
     best_val_loss = float("inf")
@@ -280,8 +284,9 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         acc = None          # device-side metric sums; fetched at log points only
         n_batches = 0
         from speech_transcript_embeddings_tpu.data.pipeline import prefetch
-        batches = prefetch(pipeline.epoch_batches(source, "train", epoch),
-                           cfg.train.prefetch_batches)
+        batches = prefetch(
+            map(place_batch, pipeline.epoch_batches(source, "train", epoch)),
+            cfg.train.prefetch_batches)
         profiling = False
         for batch in batches:
             if (cfg.train.profile_dir and epoch == start_epoch
@@ -289,7 +294,7 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
             rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, place_batch(batch), sub)
+            state, metrics = train_step(state, batch, sub)
             acc = metrics if acc is None else _metrics_add(acc, metrics)
             if profiling and n_batches >= 2 + cfg.train.profile_steps:
                 jax.block_until_ready(acc["loss"])
