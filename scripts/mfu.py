@@ -171,32 +171,42 @@ def main():
     })
 
     # ---- full flagship train step ----
+    # device-resident batches, one DISTINCT batch per step (the loop overlaps
+    # H2D via async device_put in its prefetch worker; repeating one device
+    # batch lets cached execution short-circuit) — matches bench.py
     rng = np.random.default_rng(0)
-    batch = {
-        "waveform": rng.normal(scale=0.05, size=(b, asamps)).astype(np.float32),
-        "num_samples": np.full(b, asamps, np.int32),
-        "input_ids_pos": rng.integers(4, cfg_time.model.text.vocab_size,
-                                      size=(b, tlen)).astype(np.int32),
-        "attention_mask_pos": np.ones((b, tlen), np.int32),
-        "input_ids_neg": rng.integers(4, cfg_time.model.text.vocab_size,
-                                      size=(b, tlen)).astype(np.int32),
-        "attention_mask_neg": np.ones((b, tlen), np.int32),
-    }
+
+    def make_batch():
+        return jax.device_put({
+            "waveform": rng.normal(scale=0.05,
+                                   size=(b, asamps)).astype(np.float32),
+            "num_samples": np.full(b, asamps, np.int32),
+            "input_ids_pos": rng.integers(4, cfg_time.model.text.vocab_size,
+                                          size=(b, tlen)).astype(np.int32),
+            "attention_mask_pos": np.ones((b, tlen), np.int32),
+            "input_ids_neg": rng.integers(4, cfg_time.model.text.vocab_size,
+                                          size=(b, tlen)).astype(np.int32),
+            "attention_mask_neg": np.ones((b, tlen), np.int32),
+        })
+
     key = jax.random.PRNGKey(1)
+    n = 8
+    batches = [make_batch() for _ in range(2 + n)]
+    jax.block_until_ready(batches)
 
     # counting compile (never executed); remat stays on → executed FLOPs (HFU)
     ctrain, cstate = _train_step_setup(cfg_count)
-    exec_flops = ctrain.lower(cstate, batch, key).compile().cost_analysis()["flops"]
+    exec_flops = ctrain.lower(
+        cstate, batches[0], key).compile().cost_analysis()["flops"]
     del ctrain, cstate
 
     train_step, state = _train_step_setup(cfg_time)
-    for _ in range(2):
-        state, metrics = train_step(state, batch, key)
+    for i in range(2):
+        state, metrics = train_step(state, batches[i], key)
     jax.block_until_ready(metrics["loss"])
-    n = 8
     t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = train_step(state, batch, key)
+    for i in range(n):
+        state, metrics = train_step(state, batches[2 + i], key)
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / n
     results.append({
