@@ -99,13 +99,17 @@ def measure(policy: str):
 
 
 def main():
+    global BATCH
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
     enable()
+    args = list(sys.argv[1:])
+    if args and args[0].startswith("--batch="):
+        BATCH = int(args.pop(0).split("=")[1])
     results = {}
-    for policy in sys.argv[1:] or ("full", "save_flash"):
+    for policy in args or ("full", "save_flash"):
         dt = measure(policy)
         results[policy] = dt
-        print(f"{policy}: {dt * 1e3:.1f} ms/step "
+        print(f"{policy}: B={BATCH} {dt * 1e3:.1f} ms/step "
               f"({BATCH / dt:.1f} clips/s)", flush=True)
     print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
 
