@@ -46,18 +46,8 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     asamps = AUDIO_SECONDS * 16000
 
-    import dataclasses
-    m = config_lib.ModelConfig(dtype="bfloat16", remat=True)
-    # flagship kernels: scanned frozen bottoms, Pallas flash attention with the
-    # banded rel bias, fused Pallas log-mel frontend (measured wins, ROUND2.md)
-    m = dataclasses.replace(
-        m, text=dataclasses.replace(m.text, scan_bottom=7),
-        audio=dataclasses.replace(m.audio, scan_bottom=19,
-                                  use_flash_attention=True,
-                                  remat_policy="save_flash"),
-        frontend=dataclasses.replace(m.frontend, use_pallas=True))
     cfg = config_lib.ExperimentConfig(
-        model=m,
+        model=config_lib.flagship_model_config(),
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
                                        audio_layers_to_unfreeze=5),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100),

@@ -37,13 +37,9 @@ def build(policy: str):
     )
 
     asamps = AUDIO_SECONDS * 16000
-    m = config_lib.ModelConfig(dtype="bfloat16", remat=True)
+    m = config_lib.flagship_model_config()
     m = dataclasses.replace(
-        m, text=dataclasses.replace(m.text, scan_bottom=7),
-        audio=dataclasses.replace(m.audio, scan_bottom=19,
-                                  use_flash_attention=True,
-                                  remat_policy=policy),
-        frontend=dataclasses.replace(m.frontend, use_pallas=True))
+        m, audio=dataclasses.replace(m.audio, remat_policy=policy))
     cfg = config_lib.ExperimentConfig(
         model=m,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,

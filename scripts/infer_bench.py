@@ -34,12 +34,8 @@ def main():
     from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
 
     asamps = AUDIO_SECONDS * 16000
-    m = config_lib.ModelConfig(dtype="bfloat16", remat=False)
-    m = dataclasses.replace(
-        m, text=dataclasses.replace(m.text, scan_bottom=7),
-        audio=dataclasses.replace(m.audio, scan_bottom=19,
-                                  use_flash_attention=True),
-        frontend=dataclasses.replace(m.frontend, use_pallas=True))
+    # flagship kernels; no remat for inference (no backward to save for)
+    m = dataclasses.replace(config_lib.flagship_model_config(), remat=False)
     model = DualEncoderModel(m)
     frontend = make_frontend(m.frontend)
     params = template_params(model)

@@ -56,20 +56,16 @@ def _flagship(batch, asamps, tlen, counting: bool, remat: bool = True):
     for FLOP counting."""
     from speech_transcript_embeddings_tpu import config as config_lib
 
-    m = config_lib.ModelConfig(dtype="bfloat16", remat=remat)
     if counting:
+        m = config_lib.ModelConfig(dtype="bfloat16", remat=remat)
         m = dataclasses.replace(
             m, text=dataclasses.replace(m.text, scan_bottom=1),
             audio=dataclasses.replace(m.audio, scan_bottom=1,
                                       use_flash_attention=False),
             frontend=dataclasses.replace(m.frontend, use_pallas=False))
     else:
-        m = dataclasses.replace(
-            m, text=dataclasses.replace(m.text, scan_bottom=7),
-            audio=dataclasses.replace(m.audio, scan_bottom=19,
-                                      use_flash_attention=True,
-                                      remat_policy="save_flash"),
-            frontend=dataclasses.replace(m.frontend, use_pallas=True))
+        m = dataclasses.replace(config_lib.flagship_model_config(),
+                                remat=remat)
     return config_lib.ExperimentConfig(
         model=m,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,

@@ -47,15 +47,8 @@ def main():
     )
 
     asamps = AUDIO_SECONDS * 16000
-    m = config_lib.ModelConfig(dtype="bfloat16", remat=True)
-    m = dataclasses.replace(
-        m, text=dataclasses.replace(m.text, scan_bottom=7),
-        audio=dataclasses.replace(m.audio, scan_bottom=19,
-                                  use_flash_attention=True,
-                                  remat_policy="save_flash"),
-        frontend=dataclasses.replace(m.frontend, use_pallas=True))
     cfg = config_lib.ExperimentConfig(
-        model=m,
+        model=config_lib.flagship_model_config(),
         freeze=config_lib.FreezeConfig(mode="partial",
                                        text_layers_to_unfreeze=5,
                                        audio_layers_to_unfreeze=5),

@@ -107,7 +107,8 @@ class AudioEncoderConfig:
     #  'full'       — recompute everything in the backward replay (max HBM saving)
     #  'save_flash' — keep the flash kernel's (out, lse) so the replay skips
     #                 re-running the forward attention kernel (+[B,T,H]+[B·h,T,1]
-    #                 per block of residency, ~15% step-time saving). Requires
+    #                 per block of residency; measured 1.49× step time at the
+    #                 flagship geometry, ROUND2.md). Requires
     #                 use_flash_attention; ignored otherwise.
     remat_policy: str = "full"
 
@@ -167,6 +168,22 @@ class ModelConfig:
     @property
     def projection_dim(self) -> int:
         return self.heads.projection_dim
+
+
+def flagship_model_config() -> "ModelConfig":
+    """The flagship model/kernel block (`preset=flagship`): 877M mpnet +
+    w2v-bert-2.0 geometry, bf16 compute with per-block remat, frozen bottoms
+    scanned for the 5+5 recipe, Pallas flash attention under the save_flash
+    remat policy, fused Pallas log-mel frontend (both kernels auto-fall-back
+    off-TPU). The single source of truth shared by train.py's preset, the
+    driver entry, bench.py and the measurement scripts — so every benchmark
+    measures the shipped configuration."""
+    return ModelConfig(
+        text=TextEncoderConfig(scan_bottom=7),
+        audio=AudioEncoderConfig(scan_bottom=19, use_flash_attention=True,
+                                 remat_policy="save_flash"),
+        frontend=FrontendConfig(use_pallas=True),
+    )
 
 
 @dataclass(frozen=True)

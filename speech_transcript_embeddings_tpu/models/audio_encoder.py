@@ -120,11 +120,17 @@ class RelPositionAttention(nn.Module):
 
         # fused Pallas path: streams k/v tiles through VMEM with the banded
         # rel bias computed in-tile — no [B,h,T,T] score matrix in HBM. Probs
-        # dropout cannot run inside the kernel, so fall back when it is active.
-        if c.use_flash_attention and (deterministic or c.attention_dropout == 0):
-            from speech_transcript_embeddings_tpu.ops.flash_attention import (
-                flash_attention,
-            )
+        # dropout cannot run inside the kernel, so fall back when it is
+        # active; sequences past the kernel's verified VMEM envelope (the
+        # 30 s bucket) also fall back. NB the kernel requires contiguous
+        # prefix masks (frontend frame-validity masks are) — it reduces the
+        # mask to one valid length per row; the XLA path honours arbitrary
+        # masks.
+        from speech_transcript_embeddings_tpu.ops.flash_attention import (
+            flash_attention, supports_length,
+        )
+        if (c.use_flash_attention and supports_length(t)
+                and (deterministic or c.attention_dropout == 0)):
             b = x.shape[0]
             fold = lambda a: a.transpose(0, 2, 1, 3).reshape(b * nh, t, hd)
             kv_mask = (mask if mask is not None

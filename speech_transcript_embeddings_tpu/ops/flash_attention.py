@@ -217,9 +217,14 @@ def _dqe_rows(ds, selb_ref, selmap, q0: int, t_pad: int, left: int,
 
 
 def _chunk(t_pad: int) -> int:
-    """q-chunk rows per in-kernel iteration, sized so the [bq, t_pad] f32
-    score/probability temporaries stay well inside the ~16 MB VMEM."""
-    return 512 if t_pad <= 1024 else 256
+    """Forward q-chunk rows per in-kernel iteration: the largest power-of-two
+    multiple of BLOCK (≤512) whose ~5 live [bq, t_pad] f32 temporaries
+    (scores, probs, bias strip, qe, acc) fit a ~8 MB stack budget — t_pad 512
+    → 512, 1024 → 512 (tight), 1536-3072 → 256, beyond → 128."""
+    for bq in (512, 256, 128):
+        if 5 * bq * t_pad * 4 <= 10 * 2 ** 20:
+            return bq
+    return BLOCK
 
 
 
@@ -255,8 +260,14 @@ def _fwd_kernel(nh, num_pos, left, t_pad, selmap,
 def _bwd_chunk(t_pad: int) -> int:
     """Backward q-chunk: smaller than the forward's — the bwd body keeps ~9
     [bq, t_pad] f32 temporaries live (s, p, dp, ds, bias strip, unshear/dqe
-    intermediates), and bq=256 measured fastest in the on-chip sweep."""
-    return min(_chunk(t_pad), 256)
+    intermediates). 256 measured fastest at the flagship t_pad=512; longer
+    buckets shrink the chunk to keep the stack under the budget (t_pad=1536,
+    the 30 s bucket, needs 128 — 256 would put 14.2 MB of temporaries on the
+    ~16 MB VMEM stack before block IO)."""
+    for bq in (256, 128):
+        if 9 * bq * t_pad * 4 <= 8 * 2 ** 20:
+            return bq
+    return BLOCK
 
 
 def _bwd_kernel(nh, num_pos, left, t_pad, selmap,
@@ -435,6 +446,18 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # recomputes only the cheap projection matmuls feeding q/k/v.
 
 FLASH_SAVE_NAMES = ("flash_out", "flash_lse")
+
+# longest padded sequence the kernels are verified to compile at (the 30 s
+# audio bucket → conformer t_pad=1536; a 60 s probe OOMs scoped VMEM in the
+# forward in a chunk-size-independent way). Callers should fall back to the
+# XLA attention path beyond this.
+MAX_T_PAD = 1536
+
+
+def supports_length(t: int) -> bool:
+    """True when the kernels handle sequence length ``t`` (after BLOCK
+    padding) within the verified VMEM envelope."""
+    return -(-t // BLOCK) * BLOCK <= MAX_T_PAD
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))

@@ -228,11 +228,25 @@ def pallas_log_mel_fused(cfg: FrontendConfig, transform: jax.Array,
     return out[:, :num_frames]
 
 
+def _fused_fits_vmem(cfg: FrontendConfig, t_pad: int) -> bool:
+    """The whole-clip fused kernel holds 3 input views (double-buffered), the
+    output (double-buffered), the log-mel scratch and the packed transforms in
+    VMEM at once — ~18.7 MB at the 30 s bucket (t_pad=3072), past the ~16 MB
+    limit. Estimate and gate; beyond it the tiled kernel (+XLA normalisation)
+    runs at any length."""
+    per_frame = (3 * cfg.hop_length * 4 * 2      # w0/w1/w2, pipelined
+                 + MEL_COLS * 4 * 2              # output, pipelined
+                 + MEL_COLS * 4)                 # lm scratch
+    fixed = (3 * cfg.hop_length * PACK_WIDTH + MEL_ROWS * MEL_COLS) * 4
+    return t_pad * per_frame + fixed <= 14 * 2 ** 20
+
+
 class PallasLogMelFrontend(fe.LogMelFrontend):
     """Drop-in LogMelFrontend with the framing+DFT+mel(+normalisation) stages
     fused in Pallas. ``fused=True`` (default) runs one whole-clip kernel that
-    also normalises in VMEM; ``fused=False`` keeps the tiled log-mel kernel
-    with normalisation in XLA."""
+    also normalises in VMEM where the clip fits the VMEM budget (clips up to
+    ~20 s), the tiled log-mel kernel with normalisation in XLA otherwise;
+    ``fused=False`` always takes the tiled path."""
 
     def __init__(self, cfg: FrontendConfig = None, interpret: bool = False,
                  fused: bool = True):
@@ -244,7 +258,10 @@ class PallasLogMelFrontend(fe.LogMelFrontend):
 
     def __call__(self, waveform: jax.Array, num_samples: jax.Array
                  ) -> Tuple[jax.Array, jax.Array]:
-        if self._fused:
+        num_frames = fe.frames_for_samples(self.cfg, waveform.shape[1])
+        t_pad = ((num_frames + FRAMES_PER_TILE - 1) // FRAMES_PER_TILE
+                 * FRAMES_PER_TILE)
+        if self._fused and _fused_fits_vmem(self.cfg, t_pad):
             return _pallas_frontend_fused_impl(
                 self.cfg, self._packed_transform, self._packed_mel,
                 waveform, num_samples, self._interpret)

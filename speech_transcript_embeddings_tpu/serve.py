@@ -15,9 +15,10 @@ Endpoints (JSON in/out):
                            → {"similarity": s, "similarity_fused": f}
 
 Concurrent clients are micro-batched: a per-modality coalescing queue merges
-requests that arrive within a short window into one device batch (dispatched
-onto the Embedder's power-of-two row buckets, so coalesced sizes reuse the
-compiled-program cache); only the device call itself holds the chip lock.
+already-pending requests into one device batch (dispatched onto the Embedder's
+power-of-two row buckets, so coalesced sizes reuse the compiled-program
+cache); a lone request dispatches immediately, and only the device call
+itself holds the chip lock.
 """
 
 from __future__ import annotations
@@ -59,21 +60,26 @@ class MicroBatcher:
     """Request-coalescing queue in front of a batched embed function.
 
     Concurrent ``submit`` calls are merged into one device batch: the dispatch
-    thread takes the first pending request, then keeps collecting arrivals for
-    up to ``window_s`` (or until ``max_batch`` rows), concatenates the items,
-    runs ``fn`` once under the shared device lock, and fans results back out.
-    Single requests on an idle server pay at most the collection window —
-    and nothing at all when the queue stays empty behind them (the window poll
-    returns immediately once max_batch is hit).
+    thread takes the first pending request, drains whatever else is ALREADY
+    queued (up to ``max_batch`` rows), runs ``fn`` once under the shared
+    device lock, and fans results back out. A lone request on an idle server
+    dispatches immediately — no artificial wait; coalescing emerges under
+    load, where requests pile up while the device is busy with the previous
+    batch. ``window_s`` is an optional extra wait for stragglers, applied
+    ONLY when the initial drain already found a second request (i.e. the
+    server is demonstrably under concurrent load).
     """
 
     def __init__(self, fn, device_lock: threading.Lock,
                  max_batch: int = 64, window_s: float = 0.003):
+        import collections
         self.fn = fn
         self.device_lock = device_lock
         self.max_batch = max_batch
         self.window_s = window_s
-        self.batch_sizes: list = []     # dispatch-size telemetry (observable)
+        # dispatch-size telemetry: bounded — a long-lived server must not
+        # grow a list forever
+        self.batch_sizes = collections.deque(maxlen=1024)
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -83,21 +89,30 @@ class MicroBatcher:
         self._q.put((list(items), fut))
         return fut.result()
 
-    def _collect(self):
-        items, fut = self._q.get()
-        pending = [(items, fut)]
-        total = len(items)
-        deadline = time.monotonic() + self.window_s
+    def _drain(self, pending, total, deadline=None):
         while total < self.max_batch:
-            timeout = deadline - time.monotonic()
-            if timeout <= 0:
-                break
             try:
-                items, fut = self._q.get(timeout=timeout)
+                if deadline is None:
+                    items, fut = self._q.get_nowait()
+                else:
+                    timeout = deadline - time.monotonic()
+                    if timeout <= 0:
+                        break
+                    items, fut = self._q.get(timeout=timeout)
             except queue.Empty:
                 break
             pending.append((items, fut))
             total += len(items)
+        return total
+
+    def _collect(self):
+        items, fut = self._q.get()
+        pending = [(items, fut)]
+        total = self._drain(pending, len(items))
+        if len(pending) > 1 and total < self.max_batch and self.window_s > 0:
+            # concurrent load detected: briefly wait for stragglers
+            self._drain(pending, total,
+                        deadline=time.monotonic() + self.window_s)
         return pending
 
     def _run(self):

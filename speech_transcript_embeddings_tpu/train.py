@@ -48,13 +48,7 @@ def build_config(argv) -> config_lib.ExperimentConfig:
         # measured wins on v5e — ROUND2.md; both fall back to the XLA paths
         # off-TPU automatically)
         cfg = config_lib.ExperimentConfig(
-            model=config_lib.ModelConfig(
-                text=config_lib.TextEncoderConfig(scan_bottom=7),
-                audio=config_lib.AudioEncoderConfig(
-                    scan_bottom=19, use_flash_attention=True,
-                    remat_policy="save_flash"),
-                frontend=config_lib.FrontendConfig(use_pallas=True),
-            ),
+            model=config_lib.flagship_model_config(),
             freeze=config_lib.FreezeConfig(
                 mode="partial", text_layers_to_unfreeze=5,
                 audio_layers_to_unfreeze=5),

@@ -116,6 +116,21 @@ def test_microbatcher_coalesces_concurrent_requests():
     assert len(calls) <= 3, f"dispatch not coalesced: {calls}"
 
 
+def test_microbatcher_lone_request_skips_window():
+    """A single request on an idle server dispatches immediately — it must
+    NOT pay the straggler window (here deliberately huge, 0.5 s)."""
+    import time
+    from speech_transcript_embeddings_tpu.serve import MicroBatcher
+
+    def fn(items):
+        return np.asarray([[0.0] for _ in items])
+
+    mb = MicroBatcher(fn, threading.Lock(), max_batch=64, window_s=0.5)
+    t0 = time.monotonic()
+    mb.submit(["x"])
+    assert time.monotonic() - t0 < 0.25, "lone request waited for the window"
+
+
 def test_microbatcher_propagates_errors():
     from speech_transcript_embeddings_tpu.serve import MicroBatcher
 
