@@ -193,3 +193,25 @@ def test_remat_policy_save_flash_matches_full():
         np.testing.assert_allclose(
             np.asarray(flat_saved[path]), np.asarray(gf),
             rtol=1e-5, atol=1e-6, err_msg=str(path))
+
+
+def test_long_sequence_falls_back_to_xla():
+    """Past the kernel's verified VMEM envelope (t_pad > MAX_T_PAD) the module
+    must route through the XLA path rather than hand Mosaic an un-compilable
+    geometry — outputs match a config with the flash flag off."""
+    from speech_transcript_embeddings_tpu.ops.flash_attention import (
+        BLOCK, MAX_T_PAD, supports_length,
+    )
+
+    assert supports_length(MAX_T_PAD) and not supports_length(MAX_T_PAD + 1)
+    t = MAX_T_PAD + BLOCK
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, t, NH * HD)).astype(np.float32))
+    mask = jnp.ones((1, t), jnp.int32)
+    mod_flash = RelPositionAttention(_module_cfg(use_flash_attention=True))
+    mod_xla = RelPositionAttention(_module_cfg())
+    params = mod_flash.init(jax.random.PRNGKey(0), x, mask,
+                            deterministic=True)
+    out_flash = mod_flash.apply(params, x, mask, deterministic=True)
+    out_xla = mod_xla.apply(params, x, mask, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_flash), np.asarray(out_xla))
