@@ -65,10 +65,18 @@ def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
              logger, place_batch=lambda b: b
              ) -> Tuple[Dict[str, float], np.ndarray, np.ndarray]:
     """→ (metrics dict, raw clean cosines, raw corrupt cosines)."""
+    from speech_transcript_embeddings_tpu.data.pipeline import prefetch
+
+    # dispatch every batch without a host sync (outputs are tiny [B] arrays;
+    # fetching inside the loop would serialize host-prep → H2D → compute →
+    # D2H per batch), batches H2D'd asynchronously in the prefetch worker
+    outs = []
+    for batch in prefetch(
+            map(place_batch, pipeline.epoch_batches(source, split, epoch)), 2):
+        outs.append(eval_step(state.trainable, state.frozen, batch))
     loss_sum = pairwise_sum = count = 0.0
     s_pos_all, s_neg_all = [], []
-    for batch in pipeline.epoch_batches(source, split, epoch):
-        out = eval_step(state.trainable, state.frozen, place_batch(batch))
+    for out in outs:
         loss_sum += float(out["loss_sum"])
         pairwise_sum += float(out["pairwise_loss_sum"])
         count += float(out["count"])
@@ -125,7 +133,7 @@ def compute_retrieval(cfg, model, frontend, state, pipeline, source,
                             method=DualEncoderModel.encode_audio)
         return l2_normalize(te), l2_normalize(ae)
 
-    text_embs, audio_embs = [], []
+    pending = []        # (device te, device ae, host mask): fetch after loop
     for batch in pipeline.epoch_batches(source, split, epoch=0):
         eb = {
             "waveform": batch["waveform"],
@@ -134,11 +142,11 @@ def compute_retrieval(cfg, model, frontend, state, pipeline, source,
             "attention_mask": batch["attention_mask_pos"],
         }
         te, ae = embed_independent(state.trainable, state.frozen, eb)
-        m = batch["example_mask"].astype(bool)
-        text_embs.append(np.asarray(te)[m])
-        audio_embs.append(np.asarray(ae)[m])
-    if not text_embs:
+        pending.append((te, ae, batch["example_mask"].astype(bool)))
+    if not pending:
         return {}
+    text_embs = [np.asarray(te)[m] for te, _, m in pending]
+    audio_embs = [np.asarray(ae)[m] for _, ae, m in pending]
     return retrieval_metrics(np.concatenate(audio_embs),
                              np.concatenate(text_embs))
 
