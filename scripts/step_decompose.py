@@ -32,8 +32,6 @@ def main():
 
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
     enable()
-    import dataclasses
-
     from speech_transcript_embeddings_tpu import config as config_lib
     from speech_transcript_embeddings_tpu.models.dual_encoder import (
         DualEncoderModel, template_params,
