@@ -186,6 +186,25 @@ def flagship_model_config() -> "ModelConfig":
     )
 
 
+def retrieval_model_config() -> "ModelConfig":
+    """The north-star retrieval model block (`preset=retrieval`): flagship
+    geometry and kernels with the pair-fusion heads OFF — plain dual-encoder
+    (encoder → attentive pooling → projection, L2-normalised). Cross-modal
+    fusion mixes the two modalities per pair, so fused embeddings are
+    pair-dependent and invalid for ranking; the builder's proxy runs show the
+    fused path memorizes under the global loss (train gap 0.25, val gap 0.03,
+    chance retrieval) while this configuration reaches 80.6% Recall@1 on the
+    4096-pool proxy (ROUND2.md, runs/proxy_midsize_retrieval_r2b). Pair with
+    ``loss.kind='global'`` (train.py's ``preset=retrieval`` does both) for the
+    BASELINE.json Recall@1 recipe — the counterpart of the reference's
+    retrieval evaluation (cv_inference.py:185-202)."""
+    base = flagship_model_config()
+    return dataclasses.replace(
+        base,
+        heads=HeadsConfig(use_cross_modal=False, use_word_alignment=False),
+    )
+
+
 @dataclass(frozen=True)
 class FreezeConfig:
     """Partial-unfreeze schedule: 'full' | 'partial' | 'none'.
@@ -274,6 +293,10 @@ class TrainConfig:
     # params-only checkpoint (convert_checkpoint.py output) to initialise from
     init_checkpoint: Optional[str] = None
     validate_gradients: bool = False   # run the grad-accum self-check up front
+    # count the true batches/epoch from the source's audio-length histogram so
+    # the LR decay endpoint is exact under bucketed drop_last (falls back to
+    # N//batch_size when the source reports no lengths)
+    exact_schedule: bool = True
     log_every_batches: int = 50
     # capture a jax.profiler trace of a few warm steps into this directory
     profile_dir: Optional[str] = None

@@ -98,6 +98,52 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     return wav.astype(np.float32), int(sr)
 
 
+def decode_audio(data: bytes, name: str = "") -> Tuple[np.ndarray, int]:
+    """Decode audio bytes of any supported container → (mono f32 wave, rate).
+
+    WAV goes through the native C++ decoder (scipy fallback). Compressed
+    formats — mp3 above all: Common Voice ships mp3 and the reference decoded
+    it via librosa (processor.py:74-85) — go through the first available
+    backend: ``soundfile`` (libsndfile), then the ``ffmpeg`` CLI (present in
+    the deploy image, deploy/Dockerfile.tpu). Raises RuntimeError naming the
+    missing backends when neither exists.
+    """
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    return _decode_compressed(data, name)
+
+
+def _decode_compressed(data: bytes, name: str = "") -> Tuple[np.ndarray, int]:
+    try:
+        import io
+
+        import soundfile as sf
+        wav, sr = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+        return wav.mean(axis=1).astype(np.float32), int(sr)
+    except ImportError:
+        pass
+    except Exception as e:       # corrupt file or unsupported codec: try ffmpeg
+        logger.warning("soundfile could not decode %s (%s); trying ffmpeg",
+                       name or "<bytes>", e)
+    import shutil
+    exe = shutil.which("ffmpeg")
+    if exe:
+        # decode + mono-mix + resample to 16 kHz in one pipe
+        proc = subprocess.run(
+            [exe, "-v", "error", "-i", "pipe:0", "-f", "f32le", "-ac", "1",
+             "-ar", "16000", "pipe:1"],
+            input=data, capture_output=True, timeout=120)
+        if proc.returncode == 0 and proc.stdout:
+            return np.frombuffer(proc.stdout, np.float32).copy(), 16000
+        raise RuntimeError(
+            f"ffmpeg failed to decode {name or '<bytes>'}: "
+            f"{proc.stderr.decode(errors='replace')[:500]}")
+    raise RuntimeError(
+        f"No decoder available for compressed audio {name or '<bytes>'} "
+        "(WAV decodes natively). Install `soundfile` or the `ffmpeg` CLI — "
+        "the TPU deploy image (deploy/Dockerfile.tpu) ships ffmpeg.")
+
+
 def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     if sr_in == sr_out:
         return np.asarray(wav, np.float32)

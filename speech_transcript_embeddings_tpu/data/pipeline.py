@@ -89,6 +89,35 @@ class DataPipeline:
         }
         return batch
 
+    # ------------------------------------------------------------------ counts
+
+    def count_epoch_batches(self, source, split: str,
+                            drop_last: Optional[bool] = None) -> Optional[int]:
+        """Exact number of batches ``epoch_batches`` will yield, or None when
+        the source can't report lengths.
+
+        Under ``drop_last`` each bucket independently drops its remainder
+        (< batch_size tail), so the count depends only on the audio-length
+        histogram — not on the shuffle order: per bucket ``n_b // B``. The
+        naive ``N // B`` estimate overcounts by up to (num_buckets-1)·(B-1)/B
+        batches, which would make the linear-decay schedule never reach its
+        endpoint (the reference's schedule is exact because it has a single
+        unbucketed DataLoader, trainer_unfreeze.py:1525-1541).
+        """
+        is_train = split == "train"
+        drop_last = is_train if drop_last is None else drop_last
+        lengths_fn = getattr(source, "audio_lengths", None)
+        if lengths_fn is None:
+            return None
+        per_bucket: Dict[int, int] = {b: 0 for b in self.buckets}
+        for n in lengths_fn(split):
+            per_bucket[self._bucket_for(
+                min(int(n), self.cfg.max_audio_samples))] += 1
+        b = self.cfg.batch_size
+        if drop_last:
+            return sum(c // b for c in per_bucket.values())
+        return sum(-(-c // b) for c in per_bucket.values())
+
     # ------------------------------------------------------------------ epochs
 
     def epoch_batches(self, source, split: str, epoch: int,
@@ -111,7 +140,16 @@ class DataPipeline:
 
         examples = source.examples(split)
         if shuffle:
-            examples = _shuffled(examples, rng, buffer_size=4096)
+            if hasattr(source, "example_at"):
+                # full-dataset shuffle: permute an index array (cheap — lengths
+                # and rows are addressed lazily) so every epoch is a true
+                # permutation, like the reference's DataLoader shuffle
+                # (trainer_unfreeze.py:1425-1433). A bounded reservoir would
+                # correlate batch composition with file order under bucketing.
+                perm = rng.permutation(source.num_examples(split))
+                examples = (source.example_at(split, int(i)) for i in perm)
+            else:
+                examples = _shuffled(examples, rng, buffer_size=4096)
 
         pending: Dict[int, List[dict]] = {blen: [] for blen in self.buckets}
         for ex in examples:

@@ -69,7 +69,12 @@ def synth_audio_for_sentence(sentence: str, sampling_rate: int = 16000,
 
 
 class SyntheticSource:
-    """Deterministic synthetic speech/transcript pairs (per split)."""
+    """Deterministic synthetic speech/transcript pairs (per split).
+
+    Index-addressable: example ``i`` is derived from a per-index seed, so a
+    full-epoch permutation (``example_at``) and cheap length queries
+    (``audio_lengths`` — no audio synthesis) are both exact.
+    """
 
     def __init__(self, cfg: DataConfig, seed: int = 1234):
         self.cfg = cfg
@@ -79,17 +84,32 @@ class SyntheticSource:
         n = self.cfg.num_synthetic_samples
         return {"train": n, "validation": max(n // 4, 1), "test": max(n // 4, 1)}[split]
 
-    def examples(self, split: str) -> Iterator[Example]:
+    def _example_rng(self, split: str, i: int) -> np.random.Generator:
         split_salt = {"train": 0, "validation": 1, "test": 2}[split]
-        rng = np.random.default_rng(self.seed + 1000 * split_salt)
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, 1000 * split_salt, i]))
+
+    def example_at(self, split: str, i: int) -> Example:
+        rng = self._example_rng(split, i)
+        n_words = int(rng.integers(2, 9))
+        words = [_PSEUDO_WORDS[rng.integers(len(_PSEUDO_WORDS))]
+                 for _ in range(n_words)]
+        sentence = " ".join(words)
+        audio = synth_audio_for_sentence(
+            sentence, seed=int(rng.integers(2 ** 31)))
+        return Example(sentence, audio, 16000)
+
+    def examples(self, split: str) -> Iterator[Example]:
         for i in range(self.num_examples(split)):
-            n_words = int(rng.integers(2, 9))
-            words = [_PSEUDO_WORDS[rng.integers(len(_PSEUDO_WORDS))]
-                     for _ in range(n_words)]
-            sentence = " ".join(words)
-            audio = synth_audio_for_sentence(
-                sentence, seed=int(rng.integers(2 ** 31)))
-            yield Example(sentence, audio, 16000)
+            yield self.example_at(split, i)
+
+    def audio_lengths(self, split: str) -> List[int]:
+        """Raw waveform lengths without synthesizing any audio: the length is
+        ``n_words`` (the per-index rng's first draw) × the per-word sample
+        count of ``synth_audio_for_sentence``."""
+        n_word = int(0.35 * 16000)
+        return [int(self._example_rng(split, i).integers(2, 9)) * n_word
+                for i in range(self.num_examples(split))]
 
 
 class CommonVoiceSource:
@@ -108,10 +128,28 @@ class CommonVoiceSource:
     def num_examples(self, split: str) -> int:
         return len(self._ds[split])
 
+    def example_at(self, split: str, i: int) -> Example:
+        row = self._ds[split][int(i)]
+        return Example(row["sentence"],
+                       np.asarray(row["audio"]["array"], np.float32), 16000)
+
     def examples(self, split: str) -> Iterator[Example]:
         for row in self._ds[split]:
             yield Example(row["sentence"],
                           np.asarray(row["audio"]["array"], np.float32), 16000)
+
+    def audio_lengths(self, split: str) -> List[int]:
+        """Decoded waveform lengths. HF datasets has no cheap duration column
+        for Common Voice, so this decodes each clip once — a one-off startup
+        pass that buys an exact LR schedule under bucketing (the per-bucket
+        batch counts depend only on the length histogram). Cached per split."""
+        cache = getattr(self, "_length_cache", None)
+        if cache is None:
+            cache = self._length_cache = {}
+        if split not in cache:
+            cache[split] = [len(row["audio"]["array"])
+                            for row in self._ds[split]]
+        return cache[split]
 
 
 class LocalSource:
@@ -138,15 +176,71 @@ class LocalSource:
     def num_examples(self, split: str) -> int:
         return len(self._rows[split])
 
-    def examples(self, split: str) -> Iterator[Example]:
+    def example_at(self, split: str, i: int) -> Example:
         import os
         from speech_transcript_embeddings_tpu.data import native_audio
-        for rel, sentence in self._rows[split]:
-            with open(os.path.join(self.root, rel), "rb") as f:
-                wav, sr = native_audio.decode_wav(f.read())
-            if sr != 16000:
-                wav = native_audio.resample(wav, sr, 16000)
-            yield Example(sentence, wav, 16000)
+        rel, sentence = self._rows[split][int(i)]
+        with open(os.path.join(self.root, rel), "rb") as f:
+            wav, sr = native_audio.decode_audio(f.read(), rel)
+        if sr != 16000:
+            wav = native_audio.resample(wav, sr, 16000)
+        return Example(sentence, wav, 16000)
+
+    def examples(self, split: str) -> Iterator[Example]:
+        for i in range(len(self._rows[split])):
+            yield self.example_at(split, i)
+
+    def audio_lengths(self, split: str) -> List[int]:
+        """Post-resample lengths from the WAV headers only (no sample decode);
+        non-WAV rows (e.g. mp3) fall back to a full decode of that row."""
+        import os
+        out = []
+        for i, (rel, _) in enumerate(self._rows[split]):
+            n = _wav_header_num_samples(os.path.join(self.root, rel))
+            if n is None:
+                n = len(self.example_at(split, i).audio) * 1  # already 16 kHz
+                out.append(n)
+            else:
+                frames, sr = n
+                # native ste_resample emits floor(n·sr_out/sr_in) samples
+                out.append(frames if sr == 16000 else frames * 16000 // sr)
+        return out
+
+
+def _wav_header_num_samples(path: str):
+    """Parse a WAV file's RIFF header → (num_frames, sample_rate) without
+    reading the sample data; None when the file is not a parseable WAV (e.g.
+    mp3 — the caller decodes those fully)."""
+    import struct
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                return None
+            sr = channels = bits = None
+            data_size = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    fmt = f.read(size + (size & 1))
+                    if len(fmt) < 16:
+                        return None
+                    channels = struct.unpack("<H", fmt[2:4])[0]
+                    sr = struct.unpack("<I", fmt[4:8])[0]
+                    bits = struct.unpack("<H", fmt[14:16])[0]
+                elif cid == b"data":
+                    data_size = size
+                    f.seek(size + (size & 1), 1)
+                else:
+                    f.seek(size + (size & 1), 1)
+            if not (sr and channels and bits and data_size is not None):
+                return None
+            return data_size // (channels * max(bits // 8, 1)), sr
+    except OSError:
+        return None
 
 
 def _resample_linear(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

@@ -30,8 +30,10 @@ def _load_audio(path: str) -> np.ndarray:
     if path.startswith("synthetic:"):
         return synth_audio_for_sentence(path.split(":", 1)[1])
     from speech_transcript_embeddings_tpu.data import native_audio
+    # decode_audio handles WAV natively and mp3/ogg/flac via soundfile/ffmpeg
+    # (reference inference.py accepts mp3 through librosa, processor.py:74-85)
     with open(path, "rb") as f:
-        wav, sr = native_audio.decode_wav(f.read())
+        wav, sr = native_audio.decode_audio(f.read(), path)
     if sr != 16000:
         wav = native_audio.resample(wav, sr, 16000)
     return np.asarray(wav, np.float32)
@@ -97,19 +99,28 @@ def run_batch(args) -> dict:
     # batch audios in groups to bound padding memory
     audio_embs = np.concatenate([
         emb.embed_audios(audios[i: i + 32]) for i in range(0, len(audios), 32)])
-    sims = np.sum(text_embs * audio_embs, axis=1)
+    proj_sims = np.sum(text_embs * audio_embs, axis=1)
+    # dual-path scoring (reference cv_inference.py:148-163): the fused
+    # model.forward similarity is the primary CSV score, the projection-path
+    # score rides alongside — their agreement is the reference's only
+    # inference-time self-check
+    sims = np.concatenate([
+        emb.pair_similarities(texts[i: i + 32], audios[i: i + 32])
+        for i in range(0, len(audios), 32)])
 
-    for i, (t, s) in enumerate(zip(texts, sims)):
-        rows.append({"sample_id": str(i), "text": t, "similarity": float(s)})
+    for i, (t, s, ps) in enumerate(zip(texts, sims, proj_sims)):
+        rows.append({"sample_id": str(i), "text": t, "similarity": float(s),
+                     "projection_similarity": float(ps)})
         if args.per_sample_plots:
-            _bar_chart([float(s)], ["Similarity"],
+            _bar_chart([float(s), float(ps)], ["Fused forward", "Projection path"],
                        f"Sample {i + 1}: Text-Audio Similarity",
                        os.path.join(args.results_dir, f"sample_{i + 1}_similarity.png"))
 
     import csv
     csv_path = os.path.join(args.results_dir, "cv_similarities.csv")
     with open(csv_path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=["sample_id", "text", "similarity"])
+        w = csv.DictWriter(f, fieldnames=["sample_id", "text", "similarity",
+                                          "projection_similarity"])
         w.writeheader()
         w.writerows(rows)
 
@@ -117,7 +128,8 @@ def run_batch(args) -> dict:
     print("Results Summary")
     print("=" * 60)
     print(f"Processed {len(rows)} samples")
-    print(f"Average similarity: {sims.mean():.4f}")
+    print(f"Average similarity (fused forward): {sims.mean():.4f}")
+    print(f"Average similarity (projection path): {proj_sims.mean():.4f}")
     print(f"Min similarity: {sims.min():.4f}")
     print(f"Max similarity: {sims.max():.4f}")
     top = np.argsort(-sims)[:3]

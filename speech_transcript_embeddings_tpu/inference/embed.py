@@ -43,6 +43,7 @@ class Embedder:
         self._embed_text_jit = jax.jit(self._embed_text)
         self._embed_audio_jit = jax.jit(self._embed_audio)
         self._pair_jit = jax.jit(self._pair)
+        self._pair_full_jit = jax.jit(self._pair_full)
 
     # ---- loading -------------------------------------------------------------
 
@@ -78,6 +79,12 @@ class Embedder:
         return l2_normalize(proj)
 
     def _pair(self, params, batch):
+        return self.model.apply({"params": params}, batch)
+
+    def _pair_full(self, params, ids, mask, wav, lens):
+        features, amask = self.frontend(wav, lens)
+        batch = {"input_ids": ids, "attention_mask": mask,
+                 "input_features": features, "attention_mask_audio": amask}
         return self.model.apply({"params": params}, batch)
 
     # ---- public API ----------------------------------------------------------
@@ -131,6 +138,30 @@ class Embedder:
             lens = np.concatenate([lens, np.tile(lens[:1], b - n)])
         out = self._embed_audio_jit(self.params, jnp.asarray(wav), jnp.asarray(lens))
         return np.asarray(out)[:n]
+
+    def pair_similarities(self, texts: Sequence[str],
+                          audios: Sequence[np.ndarray]) -> np.ndarray:
+        """Batched fused-forward similarity per (text, audio) pair — the
+        reference's ``model.forward`` path that its batch inference stores in
+        the CSV (cv_inference.py:148-163), with cross-modal fusion applied.
+        One jitted call per row bucket instead of per sample."""
+        n = len(texts)
+        assert n == len(audios)
+        ids, masks = zip(*(self.tokenizer.encode(t, self.cfg.data.max_text_length)
+                           for t in texts))
+        ids = np.stack(ids)
+        masks = np.stack(masks)
+        wav, lens = self._pad_audio(audios)
+        b = self._row_bucket(n)
+        if b > n:
+            ids = np.concatenate([ids, np.tile(ids[:1], (b - n, 1))])
+            masks = np.concatenate([masks, np.tile(masks[:1], (b - n, 1))])
+            wav = np.concatenate([wav, np.tile(wav[:1], (b - n, 1))])
+            lens = np.concatenate([lens, np.tile(lens[:1], b - n)])
+        te, ae = self._pair_full_jit(self.params, jnp.asarray(ids),
+                                     jnp.asarray(masks), jnp.asarray(wav),
+                                     jnp.asarray(lens))
+        return np.sum(np.asarray(te)[:n] * np.asarray(ae)[:n], axis=1)
 
     def embed_pair(self, text: str, audio: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
         """Full fused forward (cross-modal attention included), like the

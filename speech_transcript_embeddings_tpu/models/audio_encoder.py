@@ -230,6 +230,12 @@ class AudioEncoder(nn.Module):
                  attention_mask: Optional[jax.Array] = None, *,
                  deterministic: bool = True) -> jax.Array:
         c = self.cfg
+        if c.remat_policy not in ("full", "save_flash"):
+            # an unrecognized value would otherwise silently degrade to full
+            # recompute (only the exact string 'save_flash' selects the policy)
+            raise ValueError(
+                f"Unknown remat_policy {c.remat_policy!r}; use 'full' or "
+                "'save_flash'")
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="feature_norm")(features)
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)

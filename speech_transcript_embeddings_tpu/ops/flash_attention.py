@@ -216,13 +216,18 @@ def _dqe_rows(ds, selb_ref, selmap, q0: int, t_pad: int, left: int,
     return jnp.concatenate(strips, axis=0) if len(strips) > 1 else strips[0]
 
 
+_STACK_BUDGET = 10 * 2 ** 20       # fwd q-chunk temporaries VMEM budget
+_BWD_STACK_BUDGET = 8 * 2 ** 20    # bwd keeps ~9 temporaries live → tighter
+
+
 def _chunk(t_pad: int) -> int:
     """Forward q-chunk rows per in-kernel iteration: the largest power-of-two
     multiple of BLOCK (≤512) whose ~5 live [bq, t_pad] f32 temporaries
-    (scores, probs, bias strip, qe, acc) fit a ~8 MB stack budget — t_pad 512
-    → 512, 1024 → 512 (tight), 1536-3072 → 256, beyond → 128."""
+    (scores, probs, bias strip, qe, acc) fit the ``_STACK_BUDGET`` (10 MB) —
+    t_pad 512 → 512, 1024 → 512 (tight: passes only under the full 10 MB),
+    1536-3072 → 256, beyond → 128."""
     for bq in (512, 256, 128):
-        if 5 * bq * t_pad * 4 <= 10 * 2 ** 20:
+        if 5 * bq * t_pad * 4 <= _STACK_BUDGET:
             return bq
     return BLOCK
 
@@ -265,7 +270,7 @@ def _bwd_chunk(t_pad: int) -> int:
     the 30 s bucket, needs 128 — 256 would put 14.2 MB of temporaries on the
     ~16 MB VMEM stack before block IO)."""
     for bq in (256, 128):
-        if 9 * bq * t_pad * 4 <= 8 * 2 ** 20:
+        if 9 * bq * t_pad * 4 <= _BWD_STACK_BUDGET:
             return bq
     return BLOCK
 

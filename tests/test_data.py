@@ -121,3 +121,44 @@ def test_prefetch_preserves_order_and_propagates_errors():
         for x in prefetch(boom(), depth=2):
             out.append(x)
     assert out == [1]
+
+def test_count_epoch_batches_exact(cfg):
+    src = SyntheticSource(cfg, seed=9)
+    pipe = DataPipeline(cfg, SimpleWordTokenizer(), seed=42)
+    for split in ("train", "validation", "test"):
+        expect = pipe.count_epoch_batches(src, split)
+        actual = len(list(pipe.epoch_batches(src, split, epoch=1)))
+        assert expect == actual, (split, expect, actual)
+    # the naive N//B estimate overcounts when bucket remainders drop
+    naive = src.num_examples("train") // cfg.batch_size
+    assert pipe.count_epoch_batches(src, "train") <= naive
+
+
+def test_audio_lengths_match_examples(cfg):
+    src = SyntheticSource(cfg, seed=9)
+    lens = src.audio_lengths("train")
+    assert lens == [len(e.audio) for e in src.examples("train")]
+
+
+def test_train_shuffle_full_permutation(cfg):
+    """Every example appears exactly once per epoch (index-array shuffle, not
+    a bounded reservoir), and the order differs across epochs."""
+    src = SyntheticSource(cfg, seed=9)
+    pipe = DataPipeline(cfg, SimpleWordTokenizer(), seed=42)
+
+    def rows(epoch):
+        out = []
+        for b in pipe.epoch_batches(src, "train", epoch, drop_last=False):
+            m = b["example_mask"].astype(bool)
+            out.extend(map(tuple, b["input_ids_pos"][m]))
+        return out
+
+    e1, e2 = rows(1), rows(2)
+    expected = []
+    tok = SimpleWordTokenizer()
+    for ex in src.examples("train"):
+        ids, _ = tok.encode(ex.sentence, cfg.max_text_length)
+        expected.append(tuple(ids))
+    assert sorted(e1) == sorted(expected)      # full coverage, no repeats
+    assert sorted(e2) == sorted(expected)
+    assert e1 != e2                            # reshuffled between epochs

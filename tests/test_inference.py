@@ -82,3 +82,44 @@ def test_retrieval_metrics_shifted():
     shifted = np.roll(base, 1, axis=0)       # every query's positive ranks 2nd+
     m = retrieval_metrics(shifted, base, ks=(1,))
     assert m["recall@1"] == 0.0
+
+
+def test_pair_similarities_matches_embed_pair(checkpoint_dir):
+    path, cfg, _ = checkpoint_dir
+    emb = Embedder.from_checkpoint(path)
+    texts = ["casa tempo dia", "vida ano olhos cidade", "mar sol"]
+    audios = [synth_audio_for_sentence(t) for t in texts]
+    batched = emb.pair_similarities(texts, audios)
+    assert batched.shape == (3,)
+    singles = [emb.embed_pair(t, a)[0] for t, a in zip(texts, audios)]
+    np.testing.assert_allclose(batched, singles, atol=1e-4)
+
+
+def test_batch_cli_dual_path_csv(checkpoint_dir, tmp_path, capsys):
+    """infer.py batch writes the fused-forward similarity as the primary CSV
+    score with the projection-path score alongside (reference
+    cv_inference.py:148-163 semantics) and prints both."""
+    import csv
+
+    from speech_transcript_embeddings_tpu import infer as infer_cli
+
+    path, cfg, _ = checkpoint_dir
+    results_dir = str(tmp_path / "cv_results")
+    infer_cli.main(["batch", "--checkpoint", path, "--num-samples", "6",
+                    "--dataset", "synthetic", "--results-dir", results_dir])
+    out = capsys.readouterr().out
+    assert "Average similarity (fused forward)" in out
+    assert "Average similarity (projection path)" in out
+    with open(os.path.join(results_dir, "cv_similarities.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 6
+    assert set(rows[0]) == {"sample_id", "text", "similarity",
+                            "projection_similarity"}
+    emb = Embedder.from_checkpoint(path)
+    from speech_transcript_embeddings_tpu.data.sources import make_source
+    src = make_source(cfg.data, seed=cfg.train.seed)
+    exs = [src.example_at("test", i) for i in range(6)]
+    fused = emb.pair_similarities([e.sentence for e in exs],
+                                  [e.audio for e in exs])
+    got = np.array([float(r["similarity"]) for r in rows])
+    np.testing.assert_allclose(got, fused, atol=1e-4)

@@ -85,3 +85,53 @@ def test_pad_batch_matches_python(lib):
         cnt_p[i] = len(c)
     np.testing.assert_array_equal(cnt_n, cnt_p)
     np.testing.assert_allclose(out_n, out_p, rtol=1e-6, atol=1e-7)
+
+def test_decode_audio_wav_dispatch(lib):
+    rng = np.random.default_rng(5)
+    wav = rng.normal(scale=0.3, size=3000).astype(np.float32)
+    got, sr = native_audio.decode_audio(_wav_bytes(wav, 16000, np.float32))
+    assert sr == 16000
+    np.testing.assert_allclose(got, wav, atol=1e-6)
+
+
+def _compressed_backend_available() -> bool:
+    import shutil
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return shutil.which("ffmpeg") is not None
+
+
+def test_decode_audio_compressed_fallback_chain():
+    """mp3-style bytes route to soundfile/ffmpeg; with neither installed the
+    error names the missing backends (this environment has neither — the
+    deploy image ships ffmpeg, so there the same bytes decode)."""
+    fake_mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 32
+    if _compressed_backend_available():
+        # a garbage frame body may still decode (to silence) or raise a decode
+        # error mentioning the file — either way the chain engaged
+        try:
+            wav, sr = native_audio.decode_audio(fake_mp3, "fake.mp3")
+            assert sr > 0
+        except RuntimeError as e:
+            assert "fake.mp3" in str(e)
+    else:
+        with pytest.raises(RuntimeError, match="soundfile|ffmpeg"):
+            native_audio.decode_audio(fake_mp3, "fake.mp3")
+
+
+def test_wav_header_num_samples(tmp_path, lib):
+    from speech_transcript_embeddings_tpu.data.sources import (
+        _wav_header_num_samples,
+    )
+    rng = np.random.default_rng(6)
+    wav = rng.normal(scale=0.3, size=(1234, 2)).astype(np.float32)
+    p = tmp_path / "x.wav"
+    p.write_bytes(_wav_bytes(wav, 22050, np.float32))
+    frames, sr = _wav_header_num_samples(str(p))
+    assert (frames, sr) == (1234, 22050)
+    assert _wav_header_num_samples(str(tmp_path / "missing.wav")) is None
+    q = tmp_path / "not.wav"
+    q.write_bytes(b"junkjunkjunkjunk")
+    assert _wav_header_num_samples(str(q)) is None
