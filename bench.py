@@ -1,11 +1,16 @@
 #!/usr/bin/env python
-"""Headline benchmark: flagship training throughput on the available TPU chip(s).
+"""Headline benchmark: training throughput of the SHIPPED north-star recipe.
 
-Measures warm-step clips/sec/chip of the full jitted training step — on-device
-log-mel frontend + dual-encoder forward (w2v-bert-2.0 conformer 24×1024 + mpnet
-12×768 geometry) + pairwise contrastive loss + backward over the partially
-unfrozen split (5+5 top layers, reference best-gap recipe) + AdamW update — on
-10-second audio clips, batch 64, bf16 compute.
+Measures warm-step clips/sec/chip of the full jitted training step of
+``preset=retrieval`` (the configuration this framework ships for the v5e-8,
+docs/CV_RUNBOOK.md): on-device log-mel frontend + dual-encoder forward
+(w2v-bert-2.0 conformer 24×1024 + mpnet 12×768 geometry, fusion heads off) +
+global in-batch-negative InfoNCE + backward over the partially unfrozen split
+(5+5 top layers) + AdamW update — on 10-second audio clips, batch 64, bf16.
+
+``--config flagship-pairwise`` instead measures the reference-parity best-gap
+recipe (fusion + word alignment on, pairwise loss) — the workload BENCH_r01/r02
+recorded — for cross-round continuity.
 
 Baseline: the reference trains ≈5.8 clips/s on a 32 GiB V100-class GPU in fp32
 (BASELINE.md, correct_encoder run, epoch-1 train-only wall time).
@@ -28,6 +33,8 @@ MEASURE_STEPS = 12
 
 
 def main():
+    bench_config = ("flagship-pairwise" if "--config" in sys.argv[1:]
+                    and "flagship-pairwise" in sys.argv[1:] else "retrieval")
     import jax
 
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
@@ -46,8 +53,15 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     asamps = AUDIO_SECONDS * 16000
 
+    if bench_config == "retrieval":
+        model_cfg = config_lib.retrieval_model_config()
+        loss_cfg = config_lib.LossConfig(kind="global")
+    else:
+        model_cfg = config_lib.flagship_model_config()
+        loss_cfg = config_lib.LossConfig(kind="pairwise")
     cfg = config_lib.ExperimentConfig(
-        model=config_lib.flagship_model_config(),
+        model=model_cfg,
+        loss=loss_cfg,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
                                        audio_layers_to_unfreeze=5),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100),
@@ -113,7 +127,10 @@ def main():
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
         "value": round(per_chip, 3),
-        "unit": "clips/s/chip (10s clips, flagship geometry, bf16, 5+5 unfrozen)",
+        "unit": ("clips/s/chip (10s clips, flagship geometry, bf16, 5+5 "
+                 "unfrozen, " + ("global InfoNCE retrieval preset"
+                                 if bench_config == "retrieval"
+                                 else "pairwise loss + fusion heads") + ")"),
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC, 3),
     }))
     return 0

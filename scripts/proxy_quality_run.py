@@ -25,6 +25,14 @@ pair, so fused embeddings cannot rank candidates) — measured on-chip, both
 leave retrieval at chance. With fusion off the global loss directly optimizes
 instance-level matching of the very embeddings retrieval ranks (the standard
 dual-encoder setup), so Recall@K / MRR should be read from this variant.
+
+``--preset-retrieval`` builds the config through ``train.build_config`` with
+``preset=retrieval`` plus midsize-geometry dotted overrides, so the run
+exercises the exact CLI path docs/CV_RUNBOOK.md ships as *the* Recall@1
+recipe (fusion off + global loss come from the preset, not hand-assembled
+flags). The flagship-only kernels (flash attention, Pallas frontend) are
+overridden off to keep the geometry identical to the round-2 proxy
+(runs/proxy_midsize_retrieval_r2b) for comparability.
 """
 
 import argparse
@@ -39,7 +47,41 @@ from speech_transcript_embeddings_tpu.training.loop import run_experiment
 from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
 
 
+def build_config_via_preset(out_dir: str, args) -> config_lib.ExperimentConfig:
+    """Midsize retrieval config through train.build_config's preset=retrieval
+    (the shipped CLI path), downsized via the same dotted overrides a user
+    would pass."""
+    from speech_transcript_embeddings_tpu.train import build_config as cli_build
+    return cli_build([
+        "preset=retrieval",
+        # midsize geometry (identical to the round-2 proxy)
+        "model.text.vocab_size=512", "model.text.hidden_size=256",
+        "model.text.num_layers=6", "model.text.num_heads=4",
+        "model.text.intermediate_size=1024",
+        "model.text.max_position_embeddings=64", "model.text.scan_bottom=1",
+        "model.audio.hidden_size=512", "model.audio.num_layers=6",
+        "model.audio.num_heads=8", "model.audio.intermediate_size=2048",
+        "model.audio.scan_bottom=1",
+        # flagship-only kernels off at this geometry (r2-proxy comparability)
+        "model.audio.use_flash_attention=false",
+        "model.audio.remat_policy=full",
+        "model.frontend.use_pallas=false",
+        "model.heads.projection_dim=256",
+        # random-init encoders need a real LR, not the fine-tuning 5e-5
+        "optimizer.learning_rate=3e-4", "optimizer.warmup_steps=20",
+        f"data.num_synthetic_samples={args.samples}",
+        "data.batch_size=32", "data.max_text_length=24",
+        "data.audio_buckets=[48000]", "data.max_audio_samples=48000",
+        f"train.num_epochs={args.epochs}",
+        f"train.accumulation_steps={args.acc}",
+        f"train.output_dir={out_dir}",
+        "train.plot_every=4", "train.log_every_batches=32",
+    ])
+
+
 def build_config(out_dir: str, args) -> config_lib.ExperimentConfig:
+    if getattr(args, "preset_retrieval", False):
+        return build_config_via_preset(out_dir, args)
     model = config_lib.ModelConfig(
         text=config_lib.TextEncoderConfig(
             vocab_size=512, hidden_size=256, num_layers=6, num_heads=4,
@@ -79,6 +121,9 @@ def main():
     ap.add_argument("--loss", choices=("pairwise", "global"), default="pairwise")
     ap.add_argument("--no-cross-modal", action="store_true",
                     help="plain dual-encoder (retrieval-meaningful variant)")
+    ap.add_argument("--preset-retrieval", action="store_true",
+                    help="build the config through train.py's preset=retrieval"
+                         " (the shipped Recall@1 recipe path)")
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--acc", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=12)

@@ -53,8 +53,23 @@ def build_config(argv) -> config_lib.ExperimentConfig:
                 mode="partial", text_layers_to_unfreeze=5,
                 audio_layers_to_unfreeze=5),
         )
+    elif preset == "retrieval":
+        # the north-star Recall@1 recipe (BASELINE.json): flagship geometry
+        # and kernels, fusion heads off (plain dual-encoder — fused embeddings
+        # are pair-dependent and rank at chance), global in-batch-negative
+        # InfoNCE with negatives all-gathered over the data mesh axis. This is
+        # the configuration the framework ships for the v5e-8; see
+        # docs/CV_RUNBOOK.md and config.retrieval_model_config's rationale.
+        cfg = config_lib.ExperimentConfig(
+            model=config_lib.retrieval_model_config(),
+            freeze=config_lib.FreezeConfig(
+                mode="partial", text_layers_to_unfreeze=5,
+                audio_layers_to_unfreeze=5),
+            loss=config_lib.LossConfig(kind="global"),
+        )
     elif preset is not None:
-        raise SystemExit(f"Unknown preset {preset!r} (use tiny|flagship)")
+        raise SystemExit(
+            f"Unknown preset {preset!r} (use tiny|flagship|retrieval)")
     overrides = config_lib.parse_overrides(argv)
     return cfg.with_overrides(overrides)
 

@@ -1,5 +1,6 @@
 """Mesh/sharding rules, config override parsing, artifact helpers."""
 
+import dataclasses
 import json
 import os
 
@@ -104,6 +105,54 @@ def test_config_override_parsing():
 def test_config_override_rejects_unknown():
     with pytest.raises(ValueError):
         ExperimentConfig().with_overrides({"train": {"bogus": 1}})
+
+
+def test_retrieval_preset():
+    """preset=retrieval is the shipped north-star recipe: flagship geometry +
+    kernels, fusion heads off (fused embeddings are pair-dependent and rank at
+    chance), global in-batch-negative InfoNCE, 5+5 partial unfreeze."""
+    from speech_transcript_embeddings_tpu.train import build_config
+    cfg = build_config(["preset=retrieval"])
+    assert cfg.loss.kind == "global"
+    assert cfg.model.heads.use_cross_modal is False
+    assert cfg.model.heads.use_word_alignment is False
+    # flagship geometry and kernels are retained
+    flag = config_lib.flagship_model_config()
+    assert cfg.model.text == flag.text
+    assert cfg.model.audio == flag.audio
+    assert cfg.model.frontend == flag.frontend
+    assert cfg.freeze.mode == "partial"
+    assert (cfg.freeze.text_layers_to_unfreeze,
+            cfg.freeze.audio_layers_to_unfreeze) == (5, 5)
+    # overrides still compose on top of the preset
+    cfg2 = build_config(["preset=retrieval", "data.batch_size=128"])
+    assert cfg2.data.batch_size == 128
+
+
+def test_proxy_preset_path_matches_midsize_geometry():
+    """The proxy's --preset-retrieval path reproduces the round-2 midsize
+    retrieval geometry exactly (so its results are comparable to
+    runs/proxy_midsize_retrieval_r2b), while routing through the shipped
+    preset=retrieval CLI path."""
+    import types
+
+    import scripts.proxy_quality_run as proxy
+    args = types.SimpleNamespace(samples=16384, acc=1, epochs=16,
+                                 preset_retrieval=True)
+    cfg = proxy.build_config("runs/x", args)
+    hand = types.SimpleNamespace(samples=16384, acc=1, epochs=16,
+                                 loss="global", no_cross_modal=True,
+                                 preset_retrieval=False)
+    base = proxy.build_config("runs/x", hand)
+    # same geometry, loss, data, optimizer, freeze; kernels off at midsize
+    assert cfg.model.text == base.model.text
+    assert dataclasses.replace(cfg.model.audio, use_flash_attention=False,
+                               remat_policy="full") == base.model.audio
+    assert cfg.model.heads == base.model.heads
+    assert cfg.loss == base.loss and cfg.loss.kind == "global"
+    assert cfg.data == base.data
+    assert cfg.optimizer == base.optimizer
+    assert cfg.freeze == base.freeze
 
 
 def test_config_json_roundtrip():
