@@ -47,7 +47,7 @@ def main():
     from speech_transcript_embeddings_tpu.ops import make_frontend
     from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
     from speech_transcript_embeddings_tpu.training.train_step import (
-        create_train_state, make_train_step,
+        create_train_state, make_train_step, resolve_frozen_dtype,
     )
 
     n_chips = max(len(jax.devices()), 1)
@@ -78,7 +78,8 @@ def main():
     trainable_labels, _ = opt_lib.split_params(labels, labels)
     tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
                                 total_steps=1000)
-    state = create_train_state(params, labels, tx)
+    state = create_train_state(params, labels, tx,
+                               frozen_dtype=resolve_frozen_dtype(cfg))
     del params
     train_step = make_train_step(cfg, model, frontend, tx)
 

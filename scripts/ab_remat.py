@@ -25,7 +25,10 @@ WARMUP_STEPS = 2
 MEASURE_STEPS = 10
 
 
-def build(policy: str):
+def build(variant: str):
+    """``variant`` = remat policy, optionally suffixed ``+f32frozen`` to store
+    the frozen param split in float32 (the pre-round-3 behavior) instead of
+    the compute dtype — A/Bs FreezeConfig.frozen_dtype."""
     from speech_transcript_embeddings_tpu import config as config_lib
     from speech_transcript_embeddings_tpu.models.dual_encoder import (
         DualEncoderModel, template_params,
@@ -33,9 +36,11 @@ def build(policy: str):
     from speech_transcript_embeddings_tpu.ops import make_frontend
     from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
     from speech_transcript_embeddings_tpu.training.train_step import (
-        create_train_state, make_train_step,
+        create_train_state, make_train_step, resolve_frozen_dtype,
     )
 
+    policy, _, frozen_tag = variant.partition("+")
+    frozen_dtype = "float32" if frozen_tag == "f32frozen" else None
     asamps = AUDIO_SECONDS * 16000
     m = config_lib.flagship_model_config()
     m = dataclasses.replace(
@@ -43,7 +48,8 @@ def build(policy: str):
     cfg = config_lib.ExperimentConfig(
         model=m,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
-                                       audio_layers_to_unfreeze=5),
+                                       audio_layers_to_unfreeze=5,
+                                       frozen_dtype=frozen_dtype),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5,
                                              warmup_steps=100),
         data=config_lib.DataConfig(batch_size=BATCH, max_text_length=TEXT_LEN,
@@ -58,14 +64,15 @@ def build(policy: str):
     trainable_labels, _ = opt_lib.split_params(labels, labels)
     tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
                                 total_steps=1000)
-    state = create_train_state(params, labels, tx)
+    state = create_train_state(params, labels, tx,
+                               frozen_dtype=resolve_frozen_dtype(cfg))
     step = make_train_step(cfg, model, frontend, tx)
     return state, step, asamps, cfg
 
 
-def measure(policy: str):
+def measure(variant: str):
     import jax
-    state, step, asamps, cfg = build(policy)
+    state, step, asamps, cfg = build(variant)
     rng = np.random.default_rng(0)
 
     # one DISTINCT device-resident batch per step (same measurement rule as

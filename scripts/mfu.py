@@ -86,7 +86,7 @@ def _train_step_setup(cfg):
     from speech_transcript_embeddings_tpu.ops import make_frontend
     from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
     from speech_transcript_embeddings_tpu.training.train_step import (
-        create_train_state, make_train_step,
+        create_train_state, make_train_step, resolve_frozen_dtype,
     )
 
     model = DualEncoderModel(cfg.model)
@@ -96,7 +96,8 @@ def _train_step_setup(cfg):
     trainable_labels, _ = opt_lib.split_params(labels, labels)
     tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
                                 total_steps=1000)
-    state = create_train_state(params, labels, tx)
+    state = create_train_state(params, labels, tx,
+                               frozen_dtype=resolve_frozen_dtype(cfg))
     return make_train_step(cfg, model, frontend, tx), state
 
 

@@ -41,7 +41,7 @@ def main():
         losses, optimizer as opt_lib,
     )
     from speech_transcript_embeddings_tpu.training.train_step import (
-        create_train_state, make_train_step, model_batch_from_host,
+        create_train_state, make_train_step, resolve_frozen_dtype, model_batch_from_host,
     )
 
     asamps = AUDIO_SECONDS * 16000
@@ -64,7 +64,8 @@ def main():
     trainable_labels, _ = opt_lib.split_params(labels, labels)
     tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
                                 total_steps=1000)
-    state = create_train_state(params, labels, tx)
+    state = create_train_state(params, labels, tx,
+                               frozen_dtype=resolve_frozen_dtype(cfg))
     train_step = make_train_step(cfg, model, frontend, tx)
 
     rng = np.random.default_rng(0)

@@ -319,7 +319,13 @@ def validate_ingest(text_hf, audio_hf, text_params, audio_params, workdir):
         tp = wa.text_projection(torch.from_numpy(tt))
         ap = wa.audio_projection(torch.from_numpy(aa))
         att, _ = wa.alignment_attention(tp, ap, ap)
-        ref_aligned = wa.layer_norm(tp + wa.output_projection(att))
+        # reference residual adds the RAW text hidden states
+        # (trainer_unfreeze.py:299-301) — at flagship dims text_hidden ==
+        # alignment_dim so this is the path the reference actually runs (at
+        # mismatched dims it would not typecheck; our module substitutes the
+        # projected text there, see heads.py WordLevelAlignment docstring)
+        ref_aligned = wa.layer_norm(
+            torch.from_numpy(tt) + wa.output_projection(att))
         ref_scores = wa.alignment_confidence(ref_aligned).squeeze(-1)
     _report("word alignment 768 (aligned)", np.asarray(aligned),
             ref_aligned.numpy(), 1e-4)

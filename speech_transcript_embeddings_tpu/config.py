@@ -218,6 +218,15 @@ class FreezeConfig:
     mode: str = "partial"
     text_layers_to_unfreeze: int = 5
     audio_layers_to_unfreeze: int = 5
+    # storage dtype of the FROZEN param split. None = follow ModelConfig.dtype
+    # (the compute dtype): with bf16 compute the frozen split (~509M params at
+    # flagship geometry, ~1 GB) was stored f32 and cast to bf16 every step —
+    # storing it bf16 halves its HBM residency AND its per-step read traffic
+    # with zero optimizer-state implications (frozen params have no optimizer
+    # state; the one-time rounding of pretrained weights to bf16 is the same
+    # precision the compute path already uses). Set 'float32' to keep full
+    # precision storage.
+    frozen_dtype: Optional[str] = None
     # Reference parity leaves the text embeddings and the audio feature
     # projection trainable (they are never frozen by the per-layer loop,
     # trainer_unfreeze.py:366-401). They sit BELOW the frozen blocks, so
@@ -278,6 +287,12 @@ class MeshConfig:
     model_axis: str = "model"
     num_data: int = -1              # -1: all devices on the data axis
     num_model: int = 1
+    # multi-host (multi-slice) mode: jax.distributed.initialize() at startup
+    # and per-host batch shards assembled into global arrays
+    # (parallel/mesh.py::shard_batch_multihost). batch_size is then the GLOBAL
+    # batch; each host feeds batch_size / process_count rows. Single-host runs
+    # (this repo's test env and the v5e-8 target) leave this False.
+    multihost: bool = False
 
 
 @dataclass(frozen=True)

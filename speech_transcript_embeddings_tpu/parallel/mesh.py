@@ -135,3 +135,54 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict, data_axis: str = "data") -> dict:
     s = batch_sharding(mesh, data_axis)
     return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+# ---- multi-host (multi-slice / multi-process) readiness ----------------------
+
+def maybe_initialize_distributed(flag: bool) -> int:
+    """Multi-host bring-up: call ``jax.distributed.initialize()`` (coordinator
+    discovery via the standard TPU-VM env vars / megascale runtime) before the
+    first backend touch, making ``jax.devices()`` span every host's chips so
+    ``make_mesh`` builds one global mesh — DP/ICI within a slice, DCN across
+    slices (SURVEY.md §5.8). No-op when ``flag`` is False or the runtime is
+    already initialized. → number of participating processes."""
+    if flag:
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError) as e:   # already initialized / 1-proc
+            import logging
+            logging.getLogger(__name__).info(
+                "jax.distributed.initialize skipped: %s", e)
+    return jax.process_count()
+
+
+def host_batch_slice(global_batch_size: int) -> Tuple[int, int]:
+    """(this host's row offset, rows per host) of the GLOBAL batch.
+
+    Each process feeds only the rows that live on its local chips; the data
+    pipeline slices its per-epoch stream with this before decode, so no host
+    ever touches another host's audio."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes")
+    per = global_batch_size // n
+    return jax.process_index() * per, per
+
+
+def shard_batch_multihost(mesh: Mesh, host_batch: dict,
+                          data_axis: str = "data") -> dict:
+    """Assemble global device arrays from per-host batch shards.
+
+    ``host_batch`` holds only this process's rows (``host_batch_slice`` of the
+    global batch). ``jax.make_array_from_process_local_data`` lays each host's
+    rows onto its own chips — the single-controller-per-host equivalent of
+    ``shard_batch`` (which assumes every row is addressable locally and is
+    wrong across hosts). With one process this degrades to exactly
+    ``shard_batch``'s placement, which is how the CPU-mesh tests cover it."""
+    s = batch_sharding(mesh, data_axis)
+    return {
+        k: jax.make_array_from_process_local_data(s, np.asarray(v))
+        for k, v in host_batch.items()
+    }

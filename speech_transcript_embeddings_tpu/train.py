@@ -78,6 +78,10 @@ def main(argv=None):
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
     enable()
     cfg = build_config(sys.argv[1:] if argv is None else argv)
+    if cfg.mesh.multihost:
+        # must run before the first backend touch so jax.devices() is global
+        from speech_transcript_embeddings_tpu.parallel import mesh as mesh_lib
+        mesh_lib.maybe_initialize_distributed(True)
     run_experiment(cfg)
 
 

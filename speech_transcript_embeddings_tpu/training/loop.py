@@ -39,6 +39,7 @@ from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
 from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
 from speech_transcript_embeddings_tpu.training.train_step import (
     create_train_state,
+    resolve_frozen_dtype,
     make_eval_step,
     make_train_step,
 )
@@ -254,7 +255,8 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,
                                 total_steps,
                                 accumulation_steps=cfg.train.accumulation_steps)
-    state = create_train_state(params, labels, tx)
+    state = create_train_state(params, labels, tx,
+                               frozen_dtype=resolve_frozen_dtype(cfg))
     del params
 
     train_step = make_train_step(cfg, model, frontend, tx)
@@ -294,8 +296,24 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     # so placing batches in the prefetch worker overlaps the copy with the
     # previous step's compute (the reference blocks on .cuda() per batch,
     # trainer_unfreeze.py:1026-1040)
-    place_batch = (lambda b: mesh_lib.shard_batch(mesh, b)) if mesh.size > 1 \
-        else jax.device_put
+    if cfg.mesh.multihost and mesh.size > 1:
+        # per-host batch shards → one global array per batch field. Every
+        # process runs an identical seeded pipeline (same shuffle, same
+        # bucketing), takes its own row slice of each global batch, and
+        # make_array_from_process_local_data lays those rows onto the local
+        # chips. With process_count == 1 this is shard_batch's placement.
+        off, per = mesh_lib.host_batch_slice(cfg.data.batch_size)
+        logger.info(f"Multi-host: process {jax.process_index()} of "
+                    f"{jax.process_count()} feeds rows [{off}:{off + per}] "
+                    f"of each global batch")
+
+        def place_batch(b):
+            return mesh_lib.shard_batch_multihost(
+                mesh, {k: v[off:off + per] for k, v in b.items()})
+    elif mesh.size > 1:
+        place_batch = lambda b: mesh_lib.shard_batch(mesh, b)  # noqa: E731
+    else:
+        place_batch = jax.device_put
 
     start_epoch = 1
     best_val_loss = float("inf")

@@ -35,14 +35,25 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
 
 
-def create_train_state(params, labels, tx) -> TrainState:
+def create_train_state(params, labels, tx,
+                       frozen_dtype: str = "float32") -> TrainState:
     trainable, frozen = opt_lib.split_params(params, labels)
+    if frozen_dtype != "float32":
+        # store the frozen split at the compute dtype: no per-step cast, half
+        # the HBM residency and weight-read traffic (FreezeConfig.frozen_dtype)
+        dt = jnp.dtype(frozen_dtype)
+        frozen = {k: jnp.asarray(v, dt) for k, v in frozen.items()}
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         trainable=trainable,
         frozen=frozen,
         opt_state=tx.init(trainable),
     )
+
+
+def resolve_frozen_dtype(cfg: ExperimentConfig) -> str:
+    """FreezeConfig.frozen_dtype, defaulting to the model compute dtype."""
+    return cfg.freeze.frozen_dtype or cfg.model.dtype
 
 
 def model_batch_from_host(frontend: LogMelFrontend, batch: dict) -> dict:

@@ -91,6 +91,36 @@ def test_opt_state_shardings_follow_params():
     assert not param_sh[q].is_fully_replicated
 
 
+def test_multihost_batch_assembly_single_process():
+    """shard_batch_multihost assembles per-host rows into the same global
+    placement shard_batch produces (with one process the host slice is the
+    whole batch, so the two paths must agree exactly — the cross-host case
+    differs only in which process provides which rows)."""
+    mesh = mesh_lib.make_mesh(MeshConfig())
+    rng = np.random.default_rng(0)
+    batch = {
+        "waveform": rng.normal(size=(16, 320)).astype(np.float32),
+        "num_samples": np.full((16,), 320, np.int32),
+    }
+    ref = mesh_lib.shard_batch(mesh, batch)
+    off, per = mesh_lib.host_batch_slice(16)
+    assert (off, per) == (0, 16)
+    got = mesh_lib.shard_batch_multihost(
+        mesh, {k: v[off:off + per] for k, v in batch.items()})
+    for k in batch:
+        assert got[k].sharding == ref[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+    # any global batch divides across one process
+    assert mesh_lib.host_batch_slice(15) == (0, 15)
+
+
+def test_maybe_initialize_distributed_noop():
+    # flag off → pure query; flag on in an already-initialized single-process
+    # runtime → logged no-op, never a crash
+    assert mesh_lib.maybe_initialize_distributed(False) == jax.process_count()
+    assert mesh_lib.maybe_initialize_distributed(True) == jax.process_count()
+
+
 def test_config_override_parsing():
     o = config_lib.parse_overrides(
         ["train.num_epochs=7", "loss.kind=global", "data.audio_buckets=[16000, 48000]",

@@ -79,6 +79,50 @@ def test_param_labels_full_and_none(setup):
     assert all(v != "frozen" for v in none.values())
 
 
+def test_frozen_bf16_storage(setup, tmp_path):
+    """FreezeConfig.frozen_dtype: the frozen split is stored at the compute
+    dtype (half the HBM residency/read traffic of f32 storage at flagship
+    scale), trainable params stay f32, the step runs, frozen stays untouched,
+    and a checkpoint round-trip preserves the storage dtype."""
+    cfg, model, fresh, labels = setup
+    from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+    from speech_transcript_embeddings_tpu.training.train_step import (
+        resolve_frozen_dtype,
+    )
+
+    # default: follow the model compute dtype (tiny config = float32)
+    assert resolve_frozen_dtype(cfg) == "float32"
+    assert resolve_frozen_dtype(
+        cfg.with_overrides({"model": {"dtype": "bfloat16"}})) == "bfloat16"
+    assert resolve_frozen_dtype(cfg.with_overrides(
+        {"model": {"dtype": "bfloat16"},
+         "freeze": {"frozen_dtype": "float32"}})) == "float32"
+
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze,
+                                opt_lib.split_params(labels, labels)[0],
+                                total_steps=10)
+    state = create_train_state(fresh(), labels, tx, frozen_dtype="bfloat16")
+    assert all(v.dtype == jnp.bfloat16 for v in state.frozen.values())
+    assert all(v.dtype == jnp.float32 for v in state.trainable.values())
+
+    frontend = LogMelFrontend(cfg.model.frontend)
+    step = make_train_step(cfg, model, frontend, tx)
+    frozen_before = jax.tree.map(lambda a: np.array(a), state.frozen)
+    batch = _host_batches(cfg, n=1)[0]
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    for k, v in state.frozen.items():
+        assert v.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(v), frozen_before[k])
+
+    path = str(tmp_path / "ckpt_bf16")
+    ckpt_lib.save_checkpoint(path, state, cfg, epoch=1)
+    restored = ckpt_lib.restore_checkpoint(path, state)
+    assert all(v.dtype == jnp.bfloat16 for v in restored.frozen.values())
+    for k, v in restored.frozen.items():
+        np.testing.assert_array_equal(np.asarray(v), frozen_before[k])
+
+
 def test_linear_warmup_schedule():
     cfg = OptimizerConfig(warmup_steps=10)
     f = opt_lib.linear_warmup_schedule(cfg, total_steps=110)
