@@ -110,6 +110,11 @@ class AudioEncoderConfig:
     #                 per block of residency; measured 1.49× step time at the
     #                 flagship geometry, ROUND2.md). Requires
     #                 use_flash_attention; ignored otherwise.
+    #  'save_hot'   — save_flash + the conv module output (+[B,T,H]/block):
+    #                 the replay also skips the GLU/depthwise/pointwise convs.
+    #                 Measured WORSE than save_flash at B=64 under f32 frozen
+    #                 storage (HBM spill traffic); kept as an A/B lever for
+    #                 freed-HBM configurations (scripts/ab_remat.py).
     remat_policy: str = "full"
 
     @property

@@ -211,8 +211,14 @@ class ConformerBlock(nn.Module):
             ln("attention_norm")(x), mask, deterministic=deterministic)
         x = x + nn.Dropout(c.attention_dropout,
                            deterministic=deterministic)(attn)
-        x = x + ConvModule(c, self.dtype, name="conv")(
+        conv_out = ConvModule(c, self.dtype, name="conv")(
             x, mask, deterministic=deterministic)
+        if c.remat_policy == "save_hot":
+            # tag for save_only_these_names: the replay skips the conv module
+            # (GLU + depthwise + pointwise convs) at +[B,T,H]/block residency
+            from jax.ad_checkpoint import checkpoint_name
+            conv_out = checkpoint_name(conv_out, "conv_out")
+        x = x + conv_out
         x = x + 0.5 * AudioFeedForward(c, self.dtype, name="ffn2")(
             ln("ffn2_norm")(x), deterministic=deterministic)
         return ln("final_norm")(x)
@@ -230,12 +236,12 @@ class AudioEncoder(nn.Module):
                  attention_mask: Optional[jax.Array] = None, *,
                  deterministic: bool = True) -> jax.Array:
         c = self.cfg
-        if c.remat_policy not in ("full", "save_flash"):
+        if c.remat_policy not in ("full", "save_flash", "save_hot"):
             # an unrecognized value would otherwise silently degrade to full
-            # recompute (only the exact string 'save_flash' selects the policy)
+            # recompute (only exact policy strings select a policy)
             raise ValueError(
-                f"Unknown remat_policy {c.remat_policy!r}; use 'full' or "
-                "'save_flash'")
+                f"Unknown remat_policy {c.remat_policy!r}; use 'full', "
+                "'save_flash' or 'save_hot'")
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="feature_norm")(features)
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)
@@ -253,12 +259,19 @@ class AudioEncoder(nn.Module):
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
         if self.remat:
             policy = None
-            if c.remat_policy == "save_flash" and c.use_flash_attention:
+            if c.remat_policy in ("save_flash", "save_hot") and \
+                    c.use_flash_attention:
                 from speech_transcript_embeddings_tpu.ops.flash_attention import (
                     FLASH_SAVE_NAMES,
                 )
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    *FLASH_SAVE_NAMES)
+                names = list(FLASH_SAVE_NAMES)
+                if c.remat_policy == "save_hot":
+                    # also keep the conv module output (r2 measured this WORSE
+                    # under f32 frozen storage — HBM copy/spill traffic at
+                    # B=64 — retried under the ~1 GB freed by bf16 frozen
+                    # storage, FreezeConfig.frozen_dtype)
+                    names.append("conv_out")
+                policy = jax.checkpoint_policies.save_only_these_names(*names)
             block_cls = nn.remat(ConformerBlock, static_argnums=(3,),
                                  policy=policy)
         else:

@@ -159,9 +159,10 @@ def test_save_residuals_gradient_parity(inputs):
                                    rtol=1e-6, atol=1e-6, err_msg=f"d{name}")
 
 
-def test_remat_policy_save_flash_matches_full():
-    """AudioEncoder under remat with policy='save_flash': same loss and
-    parameter gradients as the default full-recompute remat."""
+@pytest.mark.parametrize("saved_policy", ["save_flash", "save_hot"])
+def test_remat_policy_saved_matches_full(saved_policy):
+    """AudioEncoder under remat with policy='save_flash'/'save_hot': same loss
+    and parameter gradients as the default full-recompute remat."""
     from speech_transcript_embeddings_tpu.models.audio_encoder import AudioEncoder
 
     rng = np.random.default_rng(5)
@@ -178,7 +179,7 @@ def test_remat_policy_save_flash_matches_full():
     enc_full = build("full")
     params = enc_full.init(jax.random.PRNGKey(0), feats, mask,
                            deterministic=True)["params"]
-    enc_saved = build("save_flash")
+    enc_saved = build(saved_policy)
 
     def loss(enc, p):
         o = enc.apply({"params": p}, feats, mask, deterministic=True)
