@@ -178,15 +178,17 @@ class ModelConfig:
 def flagship_model_config() -> "ModelConfig":
     """The flagship model/kernel block (`preset=flagship`): 877M mpnet +
     w2v-bert-2.0 geometry, bf16 compute with per-block remat, frozen bottoms
-    scanned for the 5+5 recipe, Pallas flash attention under the save_flash
-    remat policy, fused Pallas log-mel frontend (both kernels auto-fall-back
-    off-TPU). The single source of truth shared by train.py's preset, the
-    driver entry, bench.py and the measurement scripts — so every benchmark
-    measures the shipped configuration."""
+    scanned for the 5+5 recipe, Pallas flash attention under the save_hot
+    remat policy (save_flash + conv output — fits HBM since the frozen split
+    is stored bf16, and measured faster; ROUND3.md), fused Pallas log-mel
+    frontend (both kernels auto-fall-back off-TPU). The single source of truth
+    shared by train.py's preset, the driver entry, bench.py and the
+    measurement scripts — so every benchmark measures the shipped
+    configuration."""
     return ModelConfig(
         text=TextEncoderConfig(scan_bottom=7),
         audio=AudioEncoderConfig(scan_bottom=19, use_flash_attention=True,
-                                 remat_policy="save_flash"),
+                                 remat_policy="save_hot"),
         frontend=FrontendConfig(use_pallas=True),
     )
 
