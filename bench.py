@@ -32,9 +32,28 @@ WARMUP_STEPS = 2
 MEASURE_STEPS = 12
 
 
+def _parse_config(argv):
+    """--config {retrieval,flagship-pairwise} (or --config=...); unknown
+    values fail loudly so a typo can't silently benchmark the wrong workload."""
+    cfg, args = "retrieval", list(argv)
+    while args:
+        a = args.pop(0)
+        if a == "--config":
+            if not args:
+                raise SystemExit("--config needs a value")
+            cfg = args.pop(0)
+        elif a.startswith("--config="):
+            cfg = a.split("=", 1)[1]
+        else:
+            raise SystemExit(f"Unknown argument {a!r}")
+    if cfg not in ("retrieval", "flagship-pairwise"):
+        raise SystemExit(
+            f"Unknown bench config {cfg!r} (use retrieval|flagship-pairwise)")
+    return cfg
+
+
 def main():
-    bench_config = ("flagship-pairwise" if "--config" in sys.argv[1:]
-                    and "flagship-pairwise" in sys.argv[1:] else "retrieval")
+    bench_config = _parse_config(sys.argv[1:])
     import jax
 
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable

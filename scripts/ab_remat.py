@@ -40,6 +40,9 @@ def build(variant: str):
     )
 
     policy, _, frozen_tag = variant.partition("+")
+    if frozen_tag not in ("", "f32frozen"):
+        raise SystemExit(f"Unknown variant suffix {frozen_tag!r} in "
+                         f"{variant!r} (only '+f32frozen' is recognized)")
     frozen_dtype = "float32" if frozen_tag == "f32frozen" else None
     asamps = AUDIO_SECONDS * 16000
     m = config_lib.flagship_model_config()

@@ -208,7 +208,8 @@ def retrieval_model_config() -> "ModelConfig":
     base = flagship_model_config()
     return dataclasses.replace(
         base,
-        heads=HeadsConfig(use_cross_modal=False, use_word_alignment=False),
+        heads=dataclasses.replace(base.heads, use_cross_modal=False,
+                                  use_word_alignment=False),
     )
 
 

@@ -144,6 +144,47 @@ def _decode_compressed(data: bytes, name: str = "") -> Tuple[np.ndarray, int]:
         "the TPU deploy image (deploy/Dockerfile.tpu) ships ffmpeg.")
 
 
+def wav_header_info(path: str):
+    """Parse a WAV file's RIFF header → (num_frames, sample_rate) without
+    reading the sample data; None when the file is not a parseable WAV (e.g.
+    mp3 — the caller decodes those fully) or when the data-chunk size is a
+    streaming placeholder (0 or 0xFFFFFFFF, as ffmpeg writes to pipes) that
+    cannot be trusted for a length."""
+    import struct
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                return None
+            sr = channels = bits = None
+            data_size = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    fmt = f.read(size + (size & 1))
+                    if len(fmt) < 16:
+                        return None
+                    channels = struct.unpack("<H", fmt[2:4])[0]
+                    sr = struct.unpack("<I", fmt[4:8])[0]
+                    bits = struct.unpack("<H", fmt[14:16])[0]
+                elif cid == b"data":
+                    data_size = size
+                    f.seek(size + (size & 1), 1)
+                else:
+                    f.seek(size + (size & 1), 1)
+            if not (sr and channels and bits and data_size):
+                return None
+            if data_size == 0xFFFFFFFF:     # streaming placeholder
+                return None
+            return data_size // (channels * max(bits // 8, 1)), sr
+    except OSError:
+        return None
+
+
+
 def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     if sr_in == sr_out:
         return np.asarray(wav, np.float32)

@@ -192,63 +192,47 @@ class LocalSource:
 
     def audio_lengths(self, split: str) -> List[int]:
         """Post-resample lengths from the WAV headers only (no sample decode);
-        non-WAV rows (e.g. mp3) fall back to a full decode of that row."""
+        non-WAV rows (e.g. mp3) fall back to a full decode of that row.
+        Cached per split so the decode fallback is paid at most once per
+        process (the exact-schedule count is the only startup consumer)."""
         import os
+        cache = getattr(self, "_length_cache", None)
+        if cache is None:
+            cache = self._length_cache = {}
+        if split in cache:
+            return cache[split]
         out = []
         for i, (rel, _) in enumerate(self._rows[split]):
             n = _wav_header_num_samples(os.path.join(self.root, rel))
             if n is None:
-                n = len(self.example_at(split, i).audio) * 1  # already 16 kHz
-                out.append(n)
+                out.append(len(self.example_at(split, i).audio))  # 16 kHz
             else:
                 frames, sr = n
-                # native ste_resample emits floor(n·sr_out/sr_in) samples
+                # both resamplers emit floor(n·sr_out/sr_in) samples
                 out.append(frames if sr == 16000 else frames * 16000 // sr)
+        cache[split] = out
         return out
 
 
 def _wav_header_num_samples(path: str):
-    """Parse a WAV file's RIFF header → (num_frames, sample_rate) without
-    reading the sample data; None when the file is not a parseable WAV (e.g.
-    mp3 — the caller decodes those fully)."""
-    import struct
-    try:
-        with open(path, "rb") as f:
-            head = f.read(12)
-            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
-                return None
-            sr = channels = bits = None
-            data_size = None
-            while True:
-                hdr = f.read(8)
-                if len(hdr) < 8:
-                    break
-                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-                if cid == b"fmt ":
-                    fmt = f.read(size + (size & 1))
-                    if len(fmt) < 16:
-                        return None
-                    channels = struct.unpack("<H", fmt[2:4])[0]
-                    sr = struct.unpack("<I", fmt[4:8])[0]
-                    bits = struct.unpack("<H", fmt[14:16])[0]
-                elif cid == b"data":
-                    data_size = size
-                    f.seek(size + (size & 1), 1)
-                else:
-                    f.seek(size + (size & 1), 1)
-            if not (sr and channels and bits and data_size is not None):
-                return None
-            return data_size // (channels * max(bits // 8, 1)), sr
-    except OSError:
-        return None
+    """Back-compat alias: the RIFF header parser lives in ``native_audio``
+    next to the WAV decoder (single home for container-format knowledge)."""
+    from speech_transcript_embeddings_tpu.data import native_audio
+    return native_audio.wav_header_info(path)
 
 
 def _resample_linear(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Polyphase resampling via scipy (good quality, no librosa dependency)."""
+    """Polyphase resampling via scipy (good quality, no librosa dependency).
+
+    Output length is trimmed to floor(n·sr_out/sr_in) — the native
+    ``ste_resample``'s length — so bucket assignment (and the exact-schedule
+    length histogram, ``audio_lengths``) is identical whichever resampler ran;
+    scipy's own ceil(n·up/down) can be one sample longer."""
     from math import gcd
     from scipy.signal import resample_poly
     g = gcd(sr_in, sr_out)
-    return resample_poly(wav, sr_out // g, sr_in // g).astype(np.float32)
+    out = resample_poly(wav, sr_out // g, sr_in // g).astype(np.float32)
+    return out[: int(len(wav) * sr_out / sr_in)]
 
 
 def make_source(cfg: DataConfig, seed: int = 1234):

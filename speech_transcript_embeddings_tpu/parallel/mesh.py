@@ -159,9 +159,13 @@ def maybe_initialize_distributed(flag: bool) -> int:
 def host_batch_slice(global_batch_size: int) -> Tuple[int, int]:
     """(this host's row offset, rows per host) of the GLOBAL batch.
 
-    Each process feeds only the rows that live on its local chips; the data
-    pipeline slices its per-epoch stream with this before decode, so no host
-    ever touches another host's audio."""
+    Each process transfers only the rows that live on its local chips: the
+    training loop runs an identical seeded pipeline on every host (same
+    shuffle, same bucketing — so batch composition agrees without any
+    coordination) and slices each ASSEMBLED batch with this before placement.
+    Host-side decode is therefore duplicated across hosts (accepted for now —
+    docs/SCALING.md); sharding the example stream pre-decode is the upgrade
+    when a real multi-host corpus run exists to validate against."""
     n = jax.process_count()
     if global_batch_size % n:
         raise ValueError(

@@ -64,6 +64,16 @@ def _device_memory_gib():
     return None
 
 
+def _to_host(x) -> np.ndarray:
+    """Fetch a device array to the host, including data-axis-sharded arrays
+    whose shards live on other hosts (multi-host mode): ``np.asarray`` raises
+    on non-addressable shards, so those go through ``process_allgather``."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 @jax.jit
 def _metrics_add(acc, metrics):
     """Device-side metric accumulation: keeps per-step metrics on device so the
@@ -96,9 +106,12 @@ def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
         loss_sum += float(out["loss_sum"])
         pairwise_sum += float(out["pairwise_loss_sum"])
         count += float(out["count"])
-        m = np.asarray(out["example_mask"]).astype(bool)
-        s_pos_all.append(np.asarray(out["s_pos"])[m])
-        s_neg_all.append(np.asarray(out["s_neg"])[m])
+        # per-example [B] outputs are data-sharded; _to_host handles shards
+        # on other hosts (loss_sum/count are replicated scalars — float() is
+        # always legal on those)
+        m = _to_host(out["example_mask"]).astype(bool)
+        s_pos_all.append(_to_host(out["s_pos"])[m])
+        s_neg_all.append(_to_host(out["s_neg"])[m])
 
     # dispatch batches without a per-batch host sync (fetching every result
     # inside the loop would serialize host-prep → H2D → compute → D2H), but
@@ -183,8 +196,8 @@ def compute_retrieval(cfg, model, frontend, state, pipeline, source,
             jax.block_until_ready(pending[-_EVAL_INFLIGHT][0])
     if not pending:
         return {}
-    text_embs = [np.asarray(te)[m] for te, _, m in pending]
-    audio_embs = [np.asarray(ae)[m] for _, ae, m in pending]
+    text_embs = [_to_host(te)[m] for te, _, m in pending]
+    audio_embs = [_to_host(ae)[m] for _, ae, m in pending]
     return retrieval_metrics(np.concatenate(audio_embs),
                              np.concatenate(text_embs))
 

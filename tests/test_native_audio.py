@@ -135,3 +135,12 @@ def test_wav_header_num_samples(tmp_path, lib):
     q = tmp_path / "not.wav"
     q.write_bytes(b"junkjunkjunkjunk")
     assert _wav_header_num_samples(str(q)) is None
+    # streaming placeholder data sizes (ffmpeg-to-pipe WAVs) are untrustworthy
+    import struct
+    raw = bytearray(_wav_bytes(wav, 22050, np.float32))
+    data_at = bytes(raw).index(b"data")
+    for placeholder in (0, 0xFFFFFFFF):
+        raw[data_at + 4: data_at + 8] = struct.pack("<I", placeholder)
+        r = tmp_path / "ph.wav"
+        r.write_bytes(bytes(raw))
+        assert _wav_header_num_samples(str(r)) is None
