@@ -124,11 +124,39 @@ def main():
     ap.add_argument("--preset-retrieval", action="store_true",
                     help="build the config through train.py's preset=retrieval"
                          " (the shipped Recall@1 recipe path)")
+    ap.add_argument("--segment-epochs", type=int, default=0,
+                    help="run the experiment as a chain of resumed child "
+                         "processes of at most N epochs each. The axon relay "
+                         "client retains ~the full payload of every "
+                         "jax.device_put on the host (~6 MB/step at this "
+                         "geometry — measured: 400 puts of a 6.1 MB batch "
+                         "grow RSS by 2.3 GB, execution itself retains "
+                         "nothing), so a long single-process run is "
+                         "eventually OOM-killed; the checkpoint/resume "
+                         "machinery makes segmenting free")
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--acc", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=12)
     args = ap.parse_args()
     out_dir = args.out_dir
+    if args.segment_epochs and args.epochs > args.segment_epochs:
+        import subprocess
+        cmd = [sys.executable, os.path.abspath(__file__), out_dir,
+               "--samples", str(args.samples), "--acc", str(args.acc),
+               "--loss", args.loss]
+        if args.no_cross_modal:
+            cmd.append("--no-cross-modal")
+        if args.preset_retrieval:
+            cmd.append("--preset-retrieval")
+        ends = list(range(args.segment_epochs, args.epochs,
+                          args.segment_epochs)) + [args.epochs]
+        for end in ends:
+            print(f"--- segment to epoch {end} (fresh process, resumes from "
+                  f"latest) ---", flush=True)
+            rc = subprocess.run(cmd + ["--epochs", str(end)]).returncode
+            if rc:
+                raise SystemExit(rc)
+        return
     enable()
     cfg = build_config(out_dir, args)
     results = run_experiment(cfg)
