@@ -83,7 +83,8 @@ def main():
         loss=loss_cfg,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
                                        audio_layers_to_unfreeze=5),
-        optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100),
+        optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100,
+                                             mu_dtype="bfloat16"),
         data=config_lib.DataConfig(batch_size=BATCH, max_text_length=TEXT_LEN,
                                    audio_buckets=(asamps,),
                                    max_audio_samples=asamps),

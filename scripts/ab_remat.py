@@ -39,11 +39,14 @@ def build(variant: str):
         create_train_state, make_train_step, resolve_frozen_dtype,
     )
 
-    policy, _, frozen_tag = variant.partition("+")
-    if frozen_tag not in ("", "f32frozen"):
-        raise SystemExit(f"Unknown variant suffix {frozen_tag!r} in "
-                         f"{variant!r} (only '+f32frozen' is recognized)")
-    frozen_dtype = "float32" if frozen_tag == "f32frozen" else None
+    parts = variant.split("+")
+    policy, tags = parts[0], set(parts[1:])
+    unknown = tags - {"f32frozen", "bf16mu"}
+    if unknown:
+        raise SystemExit(f"Unknown variant suffix(es) {sorted(unknown)} in "
+                         f"{variant!r} (known: '+f32frozen', '+bf16mu')")
+    frozen_dtype = "float32" if "f32frozen" in tags else None
+    mu_dtype = "bfloat16" if "bf16mu" in tags else None
     asamps = AUDIO_SECONDS * 16000
     m = config_lib.flagship_model_config()
     m = dataclasses.replace(
@@ -54,7 +57,8 @@ def build(variant: str):
                                        audio_layers_to_unfreeze=5,
                                        frozen_dtype=frozen_dtype),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5,
-                                             warmup_steps=100),
+                                             warmup_steps=100,
+                                             mu_dtype=mu_dtype),
         data=config_lib.DataConfig(batch_size=BATCH, max_text_length=TEXT_LEN,
                                    audio_buckets=(asamps,),
                                    max_audio_samples=asamps),

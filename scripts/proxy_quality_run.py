@@ -103,7 +103,8 @@ def build_config(out_dir: str, args) -> config_lib.ExperimentConfig:
             audio_layers_to_unfreeze=5),
         loss=config_lib.LossConfig(kind=args.loss),
         optimizer=config_lib.OptimizerConfig(
-            learning_rate=3e-4, warmup_steps=20),
+            learning_rate=3e-4, warmup_steps=20,
+            mu_dtype="bfloat16"),  # shipped preset numerics (r3)
         data=config_lib.DataConfig(
             dataset="synthetic", num_synthetic_samples=args.samples,
             batch_size=32,

@@ -113,8 +113,12 @@ class AudioEncoderConfig:
     #  'save_hot'   — save_flash + the conv module output (+[B,T,H]/block):
     #                 the replay also skips the GLU/depthwise/pointwise convs.
     #                 Measured WORSE than save_flash at B=64 under f32 frozen
-    #                 storage (HBM spill traffic); kept as an A/B lever for
-    #                 freed-HBM configurations (scripts/ab_remat.py).
+    #                 storage (HBM spill traffic); ~equal under bf16 frozen
+    #                 storage and best with bf16 Adam mu (scripts/ab_remat.py).
+    #  'save_hot2'  — save_hot + the ffn1 output (+[B,T,H]/block). Does NOT
+    #                 fit at flagship B=64 even under bf16 frozen + bf16 mu
+    #                 (program HBM 11.4G, total >16G — recorded OOM, r3);
+    #                 kept for smaller batches/geometries.
     remat_policy: str = "full"
 
     @property
@@ -267,6 +271,10 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # storage dtype of the Adam first moment (optax ``mu_dtype``). ``bfloat16``
+    # halves mu's HBM residency (~0.7 GB at flagship trainable size) at a
+    # negligible numerics cost (mu is a smooth EMA; nu stays f32). None = f32.
+    mu_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

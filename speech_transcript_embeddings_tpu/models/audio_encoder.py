@@ -33,6 +33,10 @@ from speech_transcript_embeddings_tpu.config import AudioEncoderConfig
 
 NEG_INF = jnp.finfo(jnp.float32).min
 
+# remat policies that save named activations (vs 'full' recompute); each
+# successive policy saves a superset of the previous one's names
+SAVE_POLICIES = ("save_flash", "save_hot", "save_hot2")
+
 
 def swish(x):
     return x * jax.nn.sigmoid(x)
@@ -138,7 +142,7 @@ class RelPositionAttention(nn.Module):
             out = flash_attention(
                 fold(q), fold(k), fold(v), dist_emb.astype(q.dtype), kv_mask,
                 num_heads=nh, left_max=c.left_max_rel_pos,
-                save_residuals=c.remat_policy == "save_flash",
+                save_residuals=c.remat_policy in SAVE_POLICIES,
                 interpret=jax.default_backend() != "tpu")
             out = out.reshape(b, nh, t, hd).transpose(0, 2, 1, 3).reshape(x.shape)
             return nn.Dense(h, dtype=self.dtype, name="out")(out)
@@ -205,15 +209,19 @@ class ConformerBlock(nn.Module):
         c = self.cfg
         ln = lambda name: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                                        name=name)
-        x = x + 0.5 * AudioFeedForward(c, self.dtype, name="ffn1")(
+        ffn1_out = AudioFeedForward(c, self.dtype, name="ffn1")(
             ln("ffn1_norm")(x), deterministic=deterministic)
+        if c.remat_policy == "save_hot2":
+            from jax.ad_checkpoint import checkpoint_name
+            ffn1_out = checkpoint_name(ffn1_out, "ffn1_out")
+        x = x + 0.5 * ffn1_out
         attn = RelPositionAttention(c, self.dtype, name="attention")(
             ln("attention_norm")(x), mask, deterministic=deterministic)
         x = x + nn.Dropout(c.attention_dropout,
                            deterministic=deterministic)(attn)
         conv_out = ConvModule(c, self.dtype, name="conv")(
             x, mask, deterministic=deterministic)
-        if c.remat_policy == "save_hot":
+        if c.remat_policy in ("save_hot", "save_hot2"):
             # tag for save_only_these_names: the replay skips the conv module
             # (GLU + depthwise + pointwise convs) at +[B,T,H]/block residency
             from jax.ad_checkpoint import checkpoint_name
@@ -236,12 +244,12 @@ class AudioEncoder(nn.Module):
                  attention_mask: Optional[jax.Array] = None, *,
                  deterministic: bool = True) -> jax.Array:
         c = self.cfg
-        if c.remat_policy not in ("full", "save_flash", "save_hot"):
+        if c.remat_policy not in ("full",) + SAVE_POLICIES:
             # an unrecognized value would otherwise silently degrade to full
             # recompute (only exact policy strings select a policy)
             raise ValueError(
                 f"Unknown remat_policy {c.remat_policy!r}; use 'full', "
-                "'save_flash' or 'save_hot'")
+                "'save_flash', 'save_hot' or 'save_hot2'")
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="feature_norm")(features)
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)
@@ -259,18 +267,22 @@ class AudioEncoder(nn.Module):
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
         if self.remat:
             policy = None
-            if c.remat_policy in ("save_flash", "save_hot") and \
-                    c.use_flash_attention:
+            if c.remat_policy in SAVE_POLICIES and c.use_flash_attention:
                 from speech_transcript_embeddings_tpu.ops.flash_attention import (
                     FLASH_SAVE_NAMES,
                 )
                 names = list(FLASH_SAVE_NAMES)
-                if c.remat_policy == "save_hot":
+                if c.remat_policy in ("save_hot", "save_hot2"):
                     # also keep the conv module output (r2 measured this WORSE
                     # under f32 frozen storage — HBM copy/spill traffic at
                     # B=64 — retried under the ~1 GB freed by bf16 frozen
                     # storage, FreezeConfig.frozen_dtype)
                     names.append("conv_out")
+                if c.remat_policy == "save_hot2":
+                    # + the ffn1 output: the replay also skips the first
+                    # feed-forward (+[B,T,H]/block) — fits only under the
+                    # bf16-frozen + bf16-mu freed-HBM budget
+                    names.append("ffn1_out")
                 policy = jax.checkpoint_policies.save_only_these_names(*names)
             block_cls = nn.remat(ConformerBlock, static_argnums=(3,),
                                  policy=policy)

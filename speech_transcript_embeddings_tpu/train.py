@@ -52,6 +52,7 @@ def build_config(argv) -> config_lib.ExperimentConfig:
             freeze=config_lib.FreezeConfig(
                 mode="partial", text_layers_to_unfreeze=5,
                 audio_layers_to_unfreeze=5),
+            optimizer=config_lib.OptimizerConfig(mu_dtype="bfloat16"),
         )
     elif preset == "retrieval":
         # the north-star Recall@1 recipe (BASELINE.json): flagship geometry
@@ -66,6 +67,7 @@ def build_config(argv) -> config_lib.ExperimentConfig:
                 mode="partial", text_layers_to_unfreeze=5,
                 audio_layers_to_unfreeze=5),
             loss=config_lib.LossConfig(kind="global"),
+            optimizer=config_lib.OptimizerConfig(mu_dtype="bfloat16"),
         )
     elif preset is not None:
         raise SystemExit(

@@ -111,10 +111,14 @@ def make_optimizer(cfg: OptimizerConfig, freeze: FreezeConfig,
     encoder_lr_scale = (1.0 / cfg.encoder_lr_divisor
                         if freeze.mode == "partial" else 1.0)
 
+    import jax.numpy as jnp
+    mu_dtype = jnp.dtype(cfg.mu_dtype) if cfg.mu_dtype else None
+
     def adamw(scale):
         return optax.adamw(
             learning_rate=lambda step: cfg.learning_rate * scale * factor(step),
-            b1=cfg.b1, b2=cfg.b2, eps=cfg.eps, weight_decay=cfg.weight_decay)
+            b1=cfg.b1, b2=cfg.b2, eps=cfg.eps, weight_decay=cfg.weight_decay,
+            mu_dtype=mu_dtype)
 
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
