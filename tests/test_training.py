@@ -123,6 +123,48 @@ def test_frozen_bf16_storage(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(v), frozen_before[k])
 
 
+def test_mu_dtype_bf16_opt_state(setup, tmp_path):
+    """OptimizerConfig.mu_dtype='bfloat16' (shipped in the flagship/retrieval
+    presets): Adam first-moment leaves are stored bf16, second moments stay
+    f32, the step runs, and a checkpoint round-trip preserves the dtypes."""
+    cfg, model, fresh, labels = setup
+    from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+
+    cfg = cfg.with_overrides({"optimizer": {"mu_dtype": "bfloat16"}})
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze,
+                                opt_lib.split_params(labels, labels)[0],
+                                total_steps=10)
+    state = create_train_state(fresh(), labels, tx)
+
+    def moment_dtypes(opt_state):
+        mu, nu = set(), set()
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+            keys = jax.tree_util.keystr(path)
+            if ".mu" in keys:
+                mu.add(leaf.dtype)
+            elif ".nu" in keys:
+                nu.add(leaf.dtype)
+        return mu, nu
+
+    mu, nu = moment_dtypes(state.opt_state)
+    assert mu == {jnp.dtype(jnp.bfloat16)}
+    assert nu == {jnp.dtype(jnp.float32)}
+
+    frontend = LogMelFrontend(cfg.model.frontend)
+    step = make_train_step(cfg, model, frontend, tx)
+    batch = _host_batches(cfg, n=1)[0]
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    mu, nu = moment_dtypes(state.opt_state)
+    assert mu == {jnp.dtype(jnp.bfloat16)} and nu == {jnp.dtype(jnp.float32)}
+
+    path = str(tmp_path / "ckpt_bf16mu")
+    ckpt_lib.save_checkpoint(path, state, cfg, epoch=1)
+    restored = ckpt_lib.restore_checkpoint(path, state)
+    mu, nu = moment_dtypes(restored.opt_state)
+    assert mu == {jnp.dtype(jnp.bfloat16)} and nu == {jnp.dtype(jnp.float32)}
+
+
 def test_linear_warmup_schedule():
     cfg = OptimizerConfig(warmup_steps=10)
     f = opt_lib.linear_warmup_schedule(cfg, total_steps=110)
