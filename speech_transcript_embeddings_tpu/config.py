@@ -292,6 +292,13 @@ class DataConfig:
     batch_size: int = 16
     shuffle_seed: int = 42
     num_synthetic_samples: int = 256  # for the synthetic source
+    # fetch/decode examples with this many threads (ordered, bounded
+    # look-ahead; 0/1 = sequential). Batches are byte-identical to the
+    # sequential path — the corruption rng stream stays in the consumer.
+    # Audio decode (C++ WAV / soundfile) releases the GIL, so this scales the
+    # host pipeline on many-core TPU-VM hosts; requires a thread-safe
+    # source.example_at (all built-in sources are).
+    decode_workers: int = 0
 
 
 @dataclass(frozen=True)
@@ -336,6 +343,15 @@ class TrainConfig:
     # swallow per-epoch exceptions and continue (reference behavior,
     # trainer_unfreeze.py:1720-1722); default off = fail fast
     continue_on_epoch_error: bool = False
+    # preemption safety (TPU-VM spot/maintenance events deliver SIGTERM): on
+    # SIGTERM the loop checkpoints ``latest`` at the next batch boundary with
+    # mid-epoch resume metadata and exits cleanly; resume replays the seeded
+    # epoch stream and skips the already-trained batches (exact — the pipeline
+    # is deterministic per (seed, epoch)). The reference loses the whole run.
+    preempt_checkpoint: bool = True
+    # fault injection for the preemption path (SURVEY §5.3): simulate a
+    # preemption after N batches of the first epoch this process runs
+    fault_inject_preempt_at: Optional[int] = None
 
 
 @dataclass(frozen=True)

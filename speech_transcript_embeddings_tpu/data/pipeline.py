@@ -138,18 +138,29 @@ class DataPipeline:
             np.random.SeedSequence([self.seed, epoch,
                                     {"train": 0, "validation": 1, "test": 2}[split]]))
 
-        examples = source.examples(split)
-        if shuffle:
-            if hasattr(source, "example_at"):
+        if hasattr(source, "example_at"):
+            if shuffle:
                 # full-dataset shuffle: permute an index array (cheap — lengths
                 # and rows are addressed lazily) so every epoch is a true
                 # permutation, like the reference's DataLoader shuffle
                 # (trainer_unfreeze.py:1425-1433). A bounded reservoir would
                 # correlate batch composition with file order under bucketing.
-                perm = rng.permutation(source.num_examples(split))
-                examples = (source.example_at(split, int(i)) for i in perm)
+                indices = rng.permutation(source.num_examples(split))
             else:
-                examples = _shuffled(examples, rng, buffer_size=4096)
+                indices = range(source.num_examples(split))
+            fetch = lambda i: source.example_at(split, int(i))  # noqa: E731
+            if self.cfg.decode_workers > 1:
+                # ordered bounded thread pool for the fetch/decode stage only:
+                # the corruption rng stream stays sequential in this consumer,
+                # so batches are byte-identical to the sequential path
+                examples = _bounded_thread_map(fetch, indices,
+                                               self.cfg.decode_workers)
+            else:
+                examples = map(fetch, indices)
+        elif shuffle:
+            examples = _shuffled(source.examples(split), rng, buffer_size=4096)
+        else:
+            examples = source.examples(split)
 
         pending: Dict[int, List[dict]] = {blen: [] for blen in self.buckets}
         for ex in examples:
@@ -164,6 +175,25 @@ class DataPipeline:
                 batch = self._emit(items, blen, pad_to_full=True)
                 if batch is not None:
                     yield batch
+
+
+def _bounded_thread_map(fn, iterable, workers: int, ahead: int = 0):
+    """Ordered ``map(fn, iterable)`` over a thread pool with a bounded number
+    of in-flight results — parallelism without materializing the epoch (a
+    plain ``Executor.map`` would submit every item up front and hold every
+    decoded clip in memory)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    ahead = ahead or workers * 2
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        dq: deque = deque()
+        for x in iterable:
+            dq.append(pool.submit(fn, x))
+            if len(dq) >= ahead:
+                yield dq.popleft().result()
+        while dq:
+            yield dq.popleft().result()
 
 
 def prefetch(iterator, depth: int = 2):

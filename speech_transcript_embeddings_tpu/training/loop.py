@@ -50,6 +50,20 @@ from speech_transcript_embeddings_tpu.utils import artifacts
 # residency of pending input batches next to the model + optimizer state
 _EVAL_INFLIGHT = 8
 
+# preemption flag: set by the SIGTERM handler (TPU-VM spot/maintenance events)
+# or by request_preemption(); the batch loop checkpoints ``latest`` with
+# mid-epoch resume metadata at the next batch boundary and exits cleanly
+import threading as _threading  # noqa: E402
+
+_PREEMPT = _threading.Event()
+
+
+def request_preemption(signum=None, frame=None) -> None:
+    """Ask the running experiment to checkpoint and exit at the next batch
+    boundary. Installed as the SIGTERM handler by run_experiment (the signal
+    TPU-VM preemption/maintenance delivers); safe to call from any thread."""
+    _PREEMPT.set()
+
 
 def _device_memory_gib():
     """Device HBM in use (GiB), or None where the backend has no stats — the
@@ -328,7 +342,14 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     else:
         place_batch = jax.device_put
 
+    if cfg.train.preempt_checkpoint:
+        import signal
+        if _threading.current_thread() is _threading.main_thread():
+            signal.signal(signal.SIGTERM, request_preemption)
+    _PREEMPT.clear()
+
     start_epoch = 1
+    resume_skip_batches = 0
     best_val_loss = float("inf")
     best_gap = 0.0
     latest_path = os.path.join(out_dir, "latest")
@@ -336,7 +357,18 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         meta = ckpt_lib.load_metadata(latest_path)
         state = place_state(ckpt_lib.restore_checkpoint(latest_path, state))
         start_epoch = meta["epoch"] + 1
-        logger.info(f"Resumed from {latest_path} at epoch {meta['epoch']}")
+        mid = meta.get("metrics", {}).get("mid_epoch")
+        if mid:
+            # preempted mid-epoch: re-enter the interrupted epoch and skip the
+            # batches already trained — the pipeline stream is deterministic
+            # per (seed, epoch), so the skip is exact
+            resume_skip_batches = int(mid["batches_done"])
+            logger.info(
+                f"Resumed mid-epoch from {latest_path}: epoch {start_epoch}, "
+                f"skipping the first {resume_skip_batches} already-trained "
+                f"batches")
+        else:
+            logger.info(f"Resumed from {latest_path} at epoch {meta['epoch']}")
         # recover the best-so-far trackers, else the first post-resume epoch
         # would overwrite the best checkpoints with a worse model
         for kind in ("best_model_loss", "best_model_gap"):
@@ -371,8 +403,17 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
         acc = None          # device-side metric sums; fetched at log points only
         n_batches = 0
         from speech_transcript_embeddings_tpu.data.pipeline import prefetch
+        host_batches = pipeline.epoch_batches(source, "train", epoch)
+        epoch_offset = 0
+        if epoch == start_epoch and resume_skip_batches:
+            # mid-epoch resume: drop the already-trained prefix host-side
+            # (before device placement)
+            import itertools
+            host_batches = itertools.islice(
+                host_batches, resume_skip_batches, None)
+            epoch_offset = resume_skip_batches
         batches = prefetch(
-            map(place_batch, pipeline.epoch_batches(source, "train", epoch)),
+            map(place_batch, host_batches),
             cfg.train.prefetch_batches)
         profiling = False
         for batch in batches:
@@ -383,6 +424,23 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, batch, sub)
             acc = metrics if acc is None else _metrics_add(acc, metrics)
+            inject_at = cfg.train.fault_inject_preempt_at
+            if (inject_at is not None and epoch == start_epoch
+                    and n_batches + 1 >= inject_at):
+                request_preemption()
+            if _PREEMPT.is_set():
+                if profiling:
+                    jax.profiler.stop_trace()
+                done = epoch_offset + n_batches + 1
+                logger.info(
+                    f"Preemption requested: checkpointing {latest_path} "
+                    f"mid-epoch (epoch {epoch}, {done} batches done) and "
+                    f"exiting")
+                ckpt_lib.save_checkpoint(
+                    latest_path, state, cfg, epoch - 1,
+                    {"mid_epoch": {"epoch": epoch, "batches_done": done}})
+                results["preempted"] = {"epoch": epoch, "batches_done": done}
+                return results
             if profiling and n_batches >= 2 + cfg.train.profile_steps:
                 jax.block_until_ready(acc["loss"])
                 jax.profiler.stop_trace()
@@ -425,9 +483,9 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
             "similarity_gap": (a["clean_hr"] - a["corrupt_hr"]) / n,
             "grad_norm": a.get("grad_norm", 0.0) / n,
         }
-        if n_batches != batches_per_epoch:
+        if epoch_offset + n_batches != batches_per_epoch:
             logger.info(
-                f"Epoch {epoch}: {n_batches} train batches "
+                f"Epoch {epoch}: {epoch_offset + n_batches} train batches "
                 f"(scheduler assumed {batches_per_epoch})")
         train_time = time.time() - t0
         clips_per_sec = n_batches * cfg.data.batch_size / max(train_time, 1e-9)

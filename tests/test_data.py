@@ -162,3 +162,22 @@ def test_train_shuffle_full_permutation(cfg):
     assert sorted(e1) == sorted(expected)      # full coverage, no repeats
     assert sorted(e2) == sorted(expected)
     assert e1 != e2                            # reshuffled between epochs
+
+
+def test_decode_workers_identical_batches(cfg):
+    """data.decode_workers parallelizes only the fetch/decode stage with an
+    ordered bounded pool — every emitted batch must be byte-identical to the
+    sequential path, train (shuffled) and eval (padded tails) alike."""
+    import dataclasses
+    src = SyntheticSource(cfg, seed=9)
+    seq = DataPipeline(cfg, SimpleWordTokenizer(), seed=42)
+    par = DataPipeline(dataclasses.replace(cfg, decode_workers=4),
+                       SimpleWordTokenizer(), seed=42)
+    for split in ("train", "validation"):
+        a = list(seq.epoch_batches(src, split, epoch=3))
+        b = list(par.epoch_batches(src, split, epoch=3))
+        assert len(a) == len(b) and a
+        for x, y in zip(a, b):
+            assert set(x) == set(y)
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k], err_msg=k)
