@@ -9,6 +9,8 @@ reference lacked (its inference was two hard-coded scripts):
 
 Endpoints (JSON in/out):
   GET  /healthz            → {"status": "ok", "projection_dim": D}
+  GET  /stats              → uptime + per-modality request counts, coalesced
+                             batch sizes, latency p50/p95 (bounded windows)
   POST /embed_text         {"texts": [...]}                → {"embeddings": [[...]]}
   POST /embed_audio        {"audios": [[...]], "sample_rate": N} → {"embeddings": ...}
   POST /similarity         {"text": "...", "audio": [...], "sample_rate": N}
@@ -77,17 +79,44 @@ class MicroBatcher:
         self.device_lock = device_lock
         self.max_batch = max_batch
         self.window_s = window_s
-        # dispatch-size telemetry: bounded — a long-lived server must not
-        # grow a list forever
+        # telemetry: bounded deques — a long-lived server must not grow lists
+        # forever; counters under a lock (ints shared across handler threads)
         self.batch_sizes = collections.deque(maxlen=1024)
+        self.latencies_ms = collections.deque(maxlen=1024)
+        self._stats_lock = threading.Lock()
+        self.requests = 0
+        self.items_total = 0
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, items: list):
+        t0 = time.monotonic()
         fut = _Future()
         self._q.put((list(items), fut))
-        return fut.result()
+        out = fut.result()
+        with self._stats_lock:
+            self.requests += 1
+            self.items_total += len(items)
+            self.latencies_ms.append((time.monotonic() - t0) * 1e3)
+        return out
+
+    def stats(self) -> dict:
+        """Bounded-window service telemetry for the /stats endpoint."""
+        with self._stats_lock:
+            lats = sorted(self.latencies_ms)
+            sizes = list(self.batch_sizes)
+            d = {"requests": self.requests, "items": self.items_total}
+        d["dispatches"] = len(sizes)
+        if lats:
+            pick = lambda q: lats[min(int(q * len(lats)), len(lats) - 1)]
+            d["latency_ms"] = {"p50": round(pick(0.50), 2),
+                               "p95": round(pick(0.95), 2),
+                               "max": round(lats[-1], 2)}
+        if sizes:
+            d["coalesced_batch"] = {
+                "mean": round(sum(sizes) / len(sizes), 2), "max": max(sizes)}
+        return d
 
     def _drain(self, pending, total, deadline=None):
         while total < self.max_batch:
@@ -138,6 +167,7 @@ class EmbeddingService:
                  window_ms: float = 3.0):
         from speech_transcript_embeddings_tpu.inference.embed import Embedder
         self.embedder = Embedder.from_checkpoint(checkpoint)
+        self._started = time.monotonic()
         self._lock = threading.Lock()
         self._text_batcher = MicroBatcher(
             self.embedder.embed_texts, self._lock,
@@ -169,6 +199,11 @@ class EmbeddingService:
         return {"similarity": float(np.dot(te, ae)),
                 "similarity_fused": float(fused)}
 
+    def stats(self) -> dict:
+        return {"uptime_s": round(time.monotonic() - self._started, 1),
+                "text": self._text_batcher.stats(),
+                "audio": self._audio_batcher.stats()}
+
 
 def make_handler(service: EmbeddingService):
     class Handler(BaseHTTPRequestHandler):
@@ -189,6 +224,8 @@ def make_handler(service: EmbeddingService):
                     "status": "ok",
                     "projection_dim": service.embedder.cfg.model.heads.projection_dim,
                 })
+            elif self.path == "/stats":
+                self._send(200, service.stats())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

@@ -167,3 +167,19 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server + "/nope", {})
     assert e.value.code == 404
+
+
+def test_stats_endpoint(server):
+    """/stats reports per-modality request/item counts, dispatch telemetry
+    and latency percentiles from bounded windows."""
+    _post(server + "/embed_text", {"texts": ["uma casa"]})
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["uptime_s"] >= 0
+    for mod in ("text", "audio"):
+        assert {"requests", "items", "dispatches"} <= set(stats[mod])
+    t = stats["text"]
+    assert t["requests"] >= 1 and t["items"] >= t["requests"]
+    assert t["dispatches"] >= 1
+    assert t["latency_ms"]["p50"] <= t["latency_ms"]["max"]
+    assert t["coalesced_batch"]["max"] >= 1
