@@ -73,6 +73,7 @@ def build_config_via_preset(out_dir: str, args) -> config_lib.ExperimentConfig:
         "data.batch_size=32", "data.max_text_length=24",
         "data.audio_buckets=[48000]", "data.max_audio_samples=48000",
         f"train.num_epochs={args.epochs}",
+        f"train.schedule_epochs={args.schedule_epochs or args.epochs}",
         f"train.accumulation_steps={args.acc}",
         f"train.output_dir={out_dir}",
         "train.plot_every=4", "train.log_every_batches=32",
@@ -112,6 +113,7 @@ def build_config(out_dir: str, args) -> config_lib.ExperimentConfig:
             max_audio_samples=48000),
         train=config_lib.TrainConfig(
             num_epochs=args.epochs, accumulation_steps=args.acc,
+            schedule_epochs=args.schedule_epochs or args.epochs,
             output_dir=out_dir, plot_every=4, log_every_batches=32),
     )
 
@@ -138,13 +140,20 @@ def main():
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--acc", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--schedule-epochs", type=int, default=0,
+                    help="span the LR decay over this many epochs (0 = "
+                         "--epochs); segment children get it automatically "
+                         "so the chain follows ONE linear decay instead of "
+                         "per-segment sawtooths")
     args = ap.parse_args()
     out_dir = args.out_dir
     if args.segment_epochs and args.epochs > args.segment_epochs:
         import subprocess
         cmd = [sys.executable, os.path.abspath(__file__), out_dir,
                "--samples", str(args.samples), "--acc", str(args.acc),
-               "--loss", args.loss]
+               "--loss", args.loss,
+               "--schedule-epochs",
+               str(args.schedule_epochs or args.epochs)]
         if args.no_cross_modal:
             cmd.append("--no-cross-modal")
         if args.preset_retrieval:

@@ -321,6 +321,12 @@ class MeshConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     num_epochs: int = 30
+    # compute the LR schedule for this many total epochs instead of
+    # num_epochs (None = num_epochs). Needed when a long run is chained
+    # across resumed processes each running to an intermediate num_epochs
+    # (e.g. proxy_quality_run --segment-epochs): without it every segment
+    # decays the LR toward its own end — a sawtooth, not one linear decay.
+    schedule_epochs: Optional[int] = None
     accumulation_steps: int = 4     # microbatch scan inside the jitted step
     save_every: int = 1
     eval_every: int = 1

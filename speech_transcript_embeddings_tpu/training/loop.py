@@ -273,10 +273,17 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
             source.num_examples("train") // cfg.data.batch_size, 1)
         sched_kind = "estimated (source reports no lengths)"
     steps_per_epoch = math.ceil(batches_per_epoch / cfg.train.accumulation_steps)
-    total_steps = steps_per_epoch * cfg.train.num_epochs
+    schedule_epochs = cfg.train.schedule_epochs or cfg.train.num_epochs
+    if schedule_epochs < cfg.train.num_epochs:
+        raise ValueError(
+            f"train.schedule_epochs={schedule_epochs} < num_epochs="
+            f"{cfg.train.num_epochs}: the decay would end before training does")
+    total_steps = steps_per_epoch * schedule_epochs
     logger.info(f"Scheduler: {batches_per_epoch} batches/epoch [{sched_kind}], "
-                f"{steps_per_epoch} optimizer steps/epoch, {total_steps} total, "
-                f"{cfg.optimizer.warmup_steps} warmup")
+                f"{steps_per_epoch} optimizer steps/epoch, {total_steps} total"
+                + (f" (schedule spans {schedule_epochs} epochs)"
+                   if schedule_epochs != cfg.train.num_epochs else "")
+                + f", {cfg.optimizer.warmup_steps} warmup")
 
     trainable_labels, _ = opt_lib.split_params(labels, labels)
     tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze, trainable_labels,

@@ -168,9 +168,10 @@ def test_proxy_preset_path_matches_midsize_geometry():
 
     import scripts.proxy_quality_run as proxy
     args = types.SimpleNamespace(samples=16384, acc=1, epochs=16,
-                                 preset_retrieval=True)
+                                 schedule_epochs=0, preset_retrieval=True)
     cfg = proxy.build_config("runs/x", args)
     hand = types.SimpleNamespace(samples=16384, acc=1, epochs=16,
+                                 schedule_epochs=0,
                                  loss="global", no_cross_modal=True,
                                  preset_retrieval=False)
     base = proxy.build_config("runs/x", hand)
