@@ -170,6 +170,12 @@ def main():
     enable()
     cfg = build_config(out_dir, args)
     results = run_experiment(cfg)
+    if "preempted" in results:
+        # clean SIGTERM exit: mid-epoch checkpoint written; relaunching the
+        # same command resumes from it
+        print(f"preempted at {results['preempted']} — latest checkpoint "
+              f"saved, rerun to resume", flush=True)
+        return
 
     summary = {
         "val_gap_trajectory": [

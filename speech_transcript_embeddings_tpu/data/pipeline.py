@@ -200,7 +200,11 @@ def prefetch(iterator, depth: int = 2):
     """Run the host pipeline in a background thread, keeping up to ``depth``
     ready batches — overlaps tokenisation/padding with device compute (the
     reference used 12 DataLoader workers for this plus featurisation; our
-    featurisation is on-device so one thread suffices)."""
+    featurisation is on-device so one thread suffices).
+
+    An abandoned generator (consumer breaks out early, e.g. the preemption
+    exit) unblocks and stops the worker on close — no leaked thread holding
+    device-resident batches."""
     if depth <= 0:
         yield from iterator
         return
@@ -210,25 +214,38 @@ def prefetch(iterator, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     error = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:   # propagate into the consumer
             error.append(e)
-        finally:
-            q.put(sentinel)
+        _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def _shuffled(iterator, rng: np.random.Generator, buffer_size: int):

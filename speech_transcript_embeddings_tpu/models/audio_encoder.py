@@ -267,23 +267,31 @@ class AudioEncoder(nn.Module):
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
         if self.remat:
             policy = None
-            if c.remat_policy in SAVE_POLICIES and c.use_flash_attention:
-                from speech_transcript_embeddings_tpu.ops.flash_attention import (
-                    FLASH_SAVE_NAMES,
-                )
-                names = list(FLASH_SAVE_NAMES)
+            if c.remat_policy in SAVE_POLICIES:
+                names = []
+                if c.use_flash_attention:
+                    # the flash kernel's (out, lse) — tagged only when the
+                    # flash path runs; the XLA attention path has no named
+                    # residuals to keep
+                    from speech_transcript_embeddings_tpu.ops.flash_attention import (
+                        FLASH_SAVE_NAMES,
+                    )
+                    names += list(FLASH_SAVE_NAMES)
                 if c.remat_policy in ("save_hot", "save_hot2"):
                     # also keep the conv module output (r2 measured this WORSE
                     # under f32 frozen storage — HBM copy/spill traffic at
                     # B=64 — retried under the ~1 GB freed by bf16 frozen
-                    # storage, FreezeConfig.frozen_dtype)
+                    # storage, FreezeConfig.frozen_dtype). Tagged in
+                    # ConformerBlock independent of flash attention.
                     names.append("conv_out")
                 if c.remat_policy == "save_hot2":
                     # + the ffn1 output: the replay also skips the first
                     # feed-forward (+[B,T,H]/block) — fits only under the
                     # bf16-frozen + bf16-mu freed-HBM budget
                     names.append("ffn1_out")
-                policy = jax.checkpoint_policies.save_only_these_names(*names)
+                if names:
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        *names)
             block_cls = nn.remat(ConformerBlock, static_argnums=(3,),
                                  policy=policy)
         else:

@@ -86,6 +86,7 @@ class MicroBatcher:
         self._stats_lock = threading.Lock()
         self.requests = 0
         self.items_total = 0
+        self.dispatches = 0
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -106,8 +107,8 @@ class MicroBatcher:
         with self._stats_lock:
             lats = sorted(self.latencies_ms)
             sizes = list(self.batch_sizes)
-            d = {"requests": self.requests, "items": self.items_total}
-        d["dispatches"] = len(sizes)
+            d = {"requests": self.requests, "items": self.items_total,
+                 "dispatches": self.dispatches}
         if lats:
             pick = lambda q: lats[min(int(q * len(lats)), len(lats) - 1)]
             d["latency_ms"] = {"p50": round(pick(0.50), 2),
@@ -148,7 +149,9 @@ class MicroBatcher:
         while True:
             pending = self._collect()
             merged = [it for items, _ in pending for it in items]
-            self.batch_sizes.append(len(merged))
+            with self._stats_lock:
+                self.dispatches += 1
+                self.batch_sizes.append(len(merged))
             try:
                 with self.device_lock:
                     out = self.fn(merged)

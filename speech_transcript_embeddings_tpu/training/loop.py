@@ -218,6 +218,29 @@ def compute_retrieval(cfg, model, frontend, state, pipeline, source,
 
 def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
                    logger=None) -> dict:
+    """Wrapper owning the SIGTERM preemption handler: installs it for the
+    duration of the experiment and always restores the previous disposition,
+    so a library caller's process stays killable after training returns."""
+    preempt_enabled = (cfg.train.preempt_checkpoint
+                       and jax.process_count() == 1)
+    prev_sigterm, installed = None, False
+    if preempt_enabled and \
+            _threading.current_thread() is _threading.main_thread():
+        import signal
+        prev_sigterm = signal.signal(signal.SIGTERM, request_preemption)
+        installed = True
+    _PREEMPT.clear()
+    try:
+        return _run_experiment(cfg, source, tokenizer, logger,
+                               preempt_enabled)
+    finally:
+        if installed:
+            import signal
+            signal.signal(signal.SIGTERM, prev_sigterm)
+
+
+def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
+                    preempt_enabled: bool) -> dict:
     out_dir = cfg.train.output_dir
     os.makedirs(out_dir, exist_ok=True)
     logger = logger or artifacts.setup_run_logging(out_dir)
@@ -349,11 +372,13 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     else:
         place_batch = jax.device_put
 
-    if cfg.train.preempt_checkpoint:
-        import signal
-        if _threading.current_thread() is _threading.main_thread():
-            signal.signal(signal.SIGTERM, request_preemption)
-    _PREEMPT.clear()
+    if cfg.train.preempt_checkpoint and not preempt_enabled:
+        # per-process mid-epoch saves are uncoordinated across hosts: one
+        # host entering the (collective) checkpoint save while another is
+        # still in train_step's collectives would deadlock. Multi-host
+        # preemption needs a coordinated drain — not claimed yet.
+        logger.warning("preempt_checkpoint disabled: multi-host runs need "
+                       "coordinated preemption (process_count > 1)")
 
     start_epoch = 1
     resume_skip_batches = 0
@@ -435,9 +460,10 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
             if (inject_at is not None and epoch == start_epoch
                     and n_batches + 1 >= inject_at):
                 request_preemption()
-            if _PREEMPT.is_set():
+            if preempt_enabled and _PREEMPT.is_set():
                 if profiling:
                     jax.profiler.stop_trace()
+                batches.close()   # unblock + stop the prefetch worker
                 done = epoch_offset + n_batches + 1
                 logger.info(
                     f"Preemption requested: checkpointing {latest_path} "

@@ -281,3 +281,37 @@ def test_restack_encoder_params_roundtrip(audio_pair):
     via_back = np.asarray(AudioEncoder(cfg).apply({"params": back}, jnp.asarray(feats)))
     np.testing.assert_allclose(via_scan, ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(via_back, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_save_hot_remat_without_flash_attention():
+    """remat_policy=save_hot/save_hot2 must save the conv/ffn1 tags even when
+    the flash kernel is off (XLA attention path) — the policies are documented
+    for small geometries where flash is disabled; silently degrading to full
+    recompute would betray the config. Values must match policy='full' exactly
+    (remat changes scheduling, not math)."""
+    from speech_transcript_embeddings_tpu.config import AudioEncoderConfig
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 24, 8)).astype(np.float32))
+    mask = jnp.ones((2, 24), jnp.int32)
+    outs = {}
+    for policy in ("full", "save_hot", "save_hot2"):
+        cfg = AudioEncoderConfig(
+            feature_dim=8, hidden_size=16, num_layers=2, num_heads=2,
+            intermediate_size=32, conv_kernel_size=4,
+            use_flash_attention=False, remat_policy=policy,
+            apply_spec_augment=False)
+        enc = AudioEncoder(cfg, jnp.float32, remat=True)
+        params = enc.init(jax.random.PRNGKey(0), feats, mask,
+                          deterministic=True)["params"]
+
+        def loss(p):
+            return jnp.sum(enc.apply({"params": p}, feats, mask,
+                                     deterministic=True) ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(params)
+        outs[policy] = (float(val), grads)
+    for policy in ("save_hot", "save_hot2"):
+        assert outs[policy][0] == outs["full"][0]
+        jax.tree.map(np.testing.assert_array_equal,
+                     outs[policy][1], outs["full"][1])
