@@ -33,8 +33,10 @@ MEASURE_STEPS = 12
 
 
 def _parse_config(argv):
-    """--config {retrieval,flagship-pairwise} (or --config=...); unknown
-    values fail loudly so a typo can't silently benchmark the wrong workload."""
+    """--config {retrieval,flagship-pairwise} and --batch N (probe only; the
+    headline default stays BATCH). Unknown values fail loudly so a typo can't
+    silently benchmark the wrong workload."""
+    global BATCH
     cfg, args = "retrieval", list(argv)
     while args:
         a = args.pop(0)
@@ -44,6 +46,12 @@ def _parse_config(argv):
             cfg = args.pop(0)
         elif a.startswith("--config="):
             cfg = a.split("=", 1)[1]
+        elif a == "--batch":
+            if not args:
+                raise SystemExit("--batch needs a value")
+            BATCH = int(args.pop(0))
+        elif a.startswith("--batch="):
+            BATCH = int(a.split("=", 1)[1])
         else:
             raise SystemExit(f"Unknown argument {a!r}")
     if cfg not in ("retrieval", "flagship-pairwise"):

@@ -57,12 +57,30 @@ from speech_transcript_embeddings_tpu import config as config_lib  # noqa: E402
 from speech_transcript_embeddings_tpu.models import convert  # noqa: E402
 
 # flagship geometry (SURVEY.md §2 "Pretrained encoders": mpnet = XLM-R base
-# 12×768, facebook/w2v-bert-2.0 = 24×1024 conformer, projection 768)
+# 12×768, facebook/w2v-bert-2.0 = 24×1024 conformer, projection 768).
+# ``--text-arch roberta-large`` switches the text side to the reference's
+# OTHER supported text encoder, sentence-transformers/all-roberta-large-v1
+# (RobertaModel 24×1024, vocab 50265, projection 1024 — model.py:137,
+# the 5_wo_alignment / 5_wt_alignment runs in BASELINE.md).
 D_TEXT, TEXT_LAYERS, TEXT_HEADS = 768, 12, 12
 D_AUDIO, AUDIO_LAYERS, AUDIO_HEADS = 1024, 24, 16
 D_PROJ = 768
 VOCAB = 250002
 TEXT_SCAN, AUDIO_SCAN = 7, 19      # the flagship preset's frozen-bottom scans
+TEXT_ARCH = "xlmr"
+
+
+def set_text_arch(arch: str) -> None:
+    global D_TEXT, TEXT_LAYERS, TEXT_HEADS, D_PROJ, VOCAB, TEXT_SCAN, TEXT_ARCH
+    TEXT_ARCH = arch
+    if arch == "roberta-large":
+        # all-roberta-large-v1: 24 layers × 1024 hidden × 16 heads; the
+        # reference's roberta runs used projection_dim 1024 and 5 unfrozen
+        # text layers (scan_bottom 19)
+        D_TEXT, TEXT_LAYERS, TEXT_HEADS = 1024, 24, 16
+        D_PROJ, VOCAB, TEXT_SCAN = 1024, 50265, 19
+    elif arch != "xlmr":
+        raise SystemExit(f"unknown --text-arch {arch!r}")
 
 
 def _np_sd(m):
@@ -89,13 +107,18 @@ def _tree_equal(name: str, a, b):
 
 
 def build_text_hf():
-    from transformers import XLMRobertaConfig, XLMRobertaModel
     torch.manual_seed(0)
-    hf_cfg = XLMRobertaConfig(
+    kwargs = dict(
         vocab_size=VOCAB, hidden_size=D_TEXT, num_hidden_layers=TEXT_LAYERS,
         num_attention_heads=TEXT_HEADS, intermediate_size=4 * D_TEXT,
         max_position_embeddings=514, type_vocab_size=1, pad_token_id=1,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    if TEXT_ARCH == "roberta-large":
+        from transformers import RobertaConfig, RobertaModel
+        hf_cfg = RobertaConfig(**kwargs)
+        return RobertaModel(hf_cfg, add_pooling_layer=False).eval(), hf_cfg
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+    hf_cfg = XLMRobertaConfig(**kwargs)
     return XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval(), hf_cfg
 
 
@@ -124,7 +147,7 @@ def validate_text(hf, hf_cfg):
     cfg7 = dataclasses.replace(cfg0, scan_bottom=TEXT_SCAN)
     params7 = convert.restack_encoder_params(params0, 0, TEXT_SCAN, TEXT_LAYERS)
     back = convert.restack_encoder_params(params7, TEXT_SCAN, 0, TEXT_LAYERS)
-    _tree_equal("text restack scan7→0 involution", back, params0)
+    _tree_equal(f"text restack scan{TEXT_SCAN}→0 involution", back, params0)
 
     rng = np.random.default_rng(2)
     b, t = 4, 128
@@ -142,7 +165,7 @@ def validate_text(hf, hf_cfg):
                              (cfg7, params7, f"scan_bottom={TEXT_SCAN}")):
         got = np.asarray(TextEncoder(cfg).apply(
             {"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
-        _report(f"text encoder 12x768 [{tag}] vs torch", got[valid],
+        _report(f"text encoder {TEXT_LAYERS}x{D_TEXT} [{tag}] vs torch", got[valid],
                 ref[valid], 1e-3)
     print(f"     (text validation {time.time() - t0:.1f}s)", flush=True)
     return params0
@@ -292,7 +315,7 @@ def validate_ingest(text_hf, audio_hf, text_params, audio_params, workdir):
         deterministic=True)
     with torch.no_grad():
         ref = heads["text_projection"].projection(torch.from_numpy(x)).numpy()
-    _report("text projection head 768→768", np.asarray(ours), ref, 1e-4)
+    _report(f"text projection head {D_TEXT}→{D_PROJ}", np.asarray(ours), ref, 1e-4)
 
     # attentive pooling (audio side, 1024)
     h = rng.normal(size=(2, 33, D_AUDIO)).astype(np.float32)
@@ -327,9 +350,9 @@ def validate_ingest(text_hf, audio_hf, text_params, audio_params, workdir):
         ref_aligned = wa.layer_norm(
             torch.from_numpy(tt) + wa.output_projection(att))
         ref_scores = wa.alignment_confidence(ref_aligned).squeeze(-1)
-    _report("word alignment 768 (aligned)", np.asarray(aligned),
+    _report(f"word alignment {D_PROJ} (aligned)", np.asarray(aligned),
             ref_aligned.numpy(), 1e-4)
-    _report("word alignment 768 (scores)", np.asarray(scores_tok),
+    _report(f"word alignment {D_PROJ} (scores)", np.asarray(scores_tok),
             ref_scores.numpy(), 1e-4)
 
     # cross-modal attention at proj dim (hand-rolled reference math)
@@ -352,7 +375,7 @@ def validate_ingest(text_hf, audio_hf, text_params, audio_params, workdir):
     got = CrossModalAttention(num_heads=nh, dropout=0.0).apply(
         {"params": params["text_to_audio_attention"]}, jnp.asarray(q_in),
         jnp.asarray(ctx), jnp.asarray(cmask))
-    _report("cross-modal attention 768/8h", np.asarray(got), ref, 1e-4)
+    _report(f"cross-modal attention {D_PROJ}/8h", np.asarray(got), ref, 1e-4)
 
     # CLI round-trip → Embedder forward (inference.py:83's load path)
     pt = os.path.join(workdir, "best_model_gap.pt")
@@ -385,9 +408,10 @@ def validate_build_converted(text_hf, audio_hf, workdir):
         DualEncoderModel,
     )
     t0 = time.time()
-    cfg, params = build_converted_params(text_hf, audio_hf,
-                                         heads_cfg=config_lib.HeadsConfig(),
-                                         dtype="float32", remat=False)
+    cfg, params = build_converted_params(
+        text_hf, audio_hf,
+        heads_cfg=config_lib.HeadsConfig(projection_dim=D_PROJ),
+        dtype="float32", remat=False)
     model_cfg = cfg.model
     assert model_cfg.text.num_layers == TEXT_LAYERS
     assert model_cfg.audio.num_layers == AUDIO_LAYERS
@@ -408,8 +432,19 @@ def validate_build_converted(text_hf, audio_hf, workdir):
 
 
 def main():
+    import argparse
     import tempfile
-    print(f"flagship conversion validation: text {TEXT_LAYERS}x{D_TEXT} "
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--text-arch", choices=("xlmr", "roberta-large"),
+                    default="xlmr",
+                    help="text-encoder geometry: xlmr = mpnet-class 12x768 "
+                         "proj 768 (the flagship preset); roberta-large = "
+                         "all-roberta-large-v1 24x1024 proj 1024 (the "
+                         "reference's other text encoder, model.py:137)")
+    args = ap.parse_args()
+    set_text_arch(args.text_arch)
+    print(f"flagship conversion validation [{TEXT_ARCH}]: "
+          f"text {TEXT_LAYERS}x{D_TEXT} "
           f"(vocab {VOCAB}), audio {AUDIO_LAYERS}x{D_AUDIO}, proj {D_PROJ}",
           flush=True)
     text_hf, text_cfg = build_text_hf()

@@ -217,6 +217,30 @@ def retrieval_model_config() -> "ModelConfig":
     )
 
 
+def roberta_model_config() -> "ModelConfig":
+    """The reference's OTHER text-encoder configuration
+    (`preset=flagship-roberta`): ``sentence-transformers/all-roberta-large-v1``
+    (RobertaModel 24×1024×16h, vocab 50265 — reference model.py:137) paired
+    with the same w2v-bert-2.0 audio encoder, projection_dim 1024 — the
+    geometry of the reference's ``5_layers_wo_alignment`` /
+    ``5_layers_wt_alignment`` logged runs (BASELINE.md rows 4-5: best-gap
+    0.3580 at epoch 5, word-align OFF). Word alignment defaults OFF to match
+    the better of those two runs; override ``model.heads.use_word_alignment``
+    for the wt_alignment variant. Kernels/remat follow the flagship preset.
+    Conversion/ingest at this geometry is validated end-to-end by
+    ``scripts/validate_flagship_conversion.py --text-arch roberta-large``
+    (runs/roberta_conversion_validation.txt)."""
+    base = flagship_model_config()
+    return dataclasses.replace(
+        base,
+        text=TextEncoderConfig(
+            vocab_size=50265, hidden_size=1024, num_layers=24, num_heads=16,
+            intermediate_size=4096, scan_bottom=19),
+        heads=dataclasses.replace(base.heads, projection_dim=1024,
+                                  use_word_alignment=False),
+    )
+
+
 @dataclass(frozen=True)
 class FreezeConfig:
     """Partial-unfreeze schedule: 'full' | 'partial' | 'none'.

@@ -69,9 +69,22 @@ def build_config(argv) -> config_lib.ExperimentConfig:
             loss=config_lib.LossConfig(kind="global"),
             optimizer=config_lib.OptimizerConfig(mu_dtype="bfloat16"),
         )
+    elif preset == "flagship-roberta":
+        # the reference's all-roberta-large-v1 configuration (BASELINE.md's
+        # 5_layers_wo_alignment run: text 24×1024, proj 1024, 5+5 unfrozen,
+        # lr 3e-5, word alignment off) — see config.roberta_model_config
+        cfg = config_lib.ExperimentConfig(
+            model=config_lib.roberta_model_config(),
+            freeze=config_lib.FreezeConfig(
+                mode="partial", text_layers_to_unfreeze=5,
+                audio_layers_to_unfreeze=5),
+            optimizer=config_lib.OptimizerConfig(learning_rate=3e-5,
+                                                 mu_dtype="bfloat16"),
+        )
     elif preset is not None:
         raise SystemExit(
-            f"Unknown preset {preset!r} (use tiny|flagship|retrieval)")
+            f"Unknown preset {preset!r} "
+            "(use tiny|flagship|flagship-roberta|retrieval)")
     overrides = config_lib.parse_overrides(argv)
     return cfg.with_overrides(overrides)
 

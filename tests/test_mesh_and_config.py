@@ -159,6 +159,33 @@ def test_retrieval_preset():
     assert cfg2.data.batch_size == 128
 
 
+def test_roberta_preset():
+    """preset=flagship-roberta is the reference's all-roberta-large-v1
+    configuration (model.py:137; BASELINE.md 5_layers_wo_alignment run):
+    text 24×1024×16h vocab 50265, projection 1024, word alignment off,
+    lr 3e-5 — same audio encoder/kernels as the flagship preset. The heads
+    derive their input dims from the encoder configs, so projection/pooling
+    follow the 1024 text hidden automatically (the reference's hard-coded-768
+    dimension bug, SURVEY.md §2 'model divergence', cannot recur here)."""
+    from speech_transcript_embeddings_tpu.train import build_config
+    cfg = build_config(["preset=flagship-roberta"])
+    t = cfg.model.text
+    assert (t.vocab_size, t.hidden_size, t.num_layers, t.num_heads,
+            t.intermediate_size) == (50265, 1024, 24, 16, 4096)
+    assert t.scan_bottom == 19     # 24 layers − 5 unfrozen
+    assert cfg.model.heads.projection_dim == 1024
+    assert cfg.model.heads.use_word_alignment is False
+    assert cfg.model.heads.use_cross_modal is True
+    flag = config_lib.flagship_model_config()
+    assert cfg.model.audio == flag.audio
+    assert cfg.model.frontend == flag.frontend
+    assert cfg.optimizer.learning_rate == pytest.approx(3e-5)
+    # the wt_alignment variant is one override away
+    cfg2 = build_config(["preset=flagship-roberta",
+                         "model.heads.use_word_alignment=true"])
+    assert cfg2.model.heads.use_word_alignment is True
+
+
 def test_proxy_preset_path_matches_midsize_geometry():
     """The proxy's --preset-retrieval path reproduces the round-2 midsize
     retrieval geometry exactly (so its results are comparable to
