@@ -6,11 +6,16 @@ Measures warm-step clips/sec/chip of the full jitted training step of
 docs/CV_RUNBOOK.md): on-device log-mel frontend + dual-encoder forward
 (w2v-bert-2.0 conformer 24×1024 + mpnet 12×768 geometry, fusion heads off) +
 global in-batch-negative InfoNCE + backward over the partially unfrozen split
-(5+5 top layers) + AdamW update — on 10-second audio clips, batch 64, bf16.
+(5+5 top layers) + AdamW update — on 10-second audio clips, bf16, batch 16:
+the preset's per-chip batch on the v5e-8 (global batch 128 / 8 chips), and
+the measured per-clip optimum of the r3 batch sweep (52.0 clips/s at B=16 vs
+46.6 at B=64 under the same step — smaller activations leave HBM room for the
+save_hot2 remat policy and less backward replay).
 
 ``--config flagship-pairwise`` instead measures the reference-parity best-gap
-recipe (fusion + word alignment on, pairwise loss) — the workload BENCH_r01/r02
-recorded — for cross-round continuity.
+recipe (fusion + word alignment on, pairwise loss) at the r1/r2 workload shape
+(batch 64, save_hot remat — save_hot2 does not fit at B=64) for cross-round
+continuity.
 
 Baseline: the reference trains ≈5.8 clips/s on a 32 GiB V100-class GPU in fp32
 (BASELINE.md, correct_encoder run, epoch-1 train-only wall time).
@@ -25,17 +30,19 @@ import time
 import numpy as np
 
 BASELINE_CLIPS_PER_SEC = 5.8
-BATCH = 64
+BATCH = None   # default: 16 (headline) / 64 (flagship-pairwise continuity)
 AUDIO_SECONDS = 10
 TEXT_LEN = 64
 WARMUP_STEPS = 2
-MEASURE_STEPS = 12
+MEASURE_STEPS = 12     # scaled up for small batches in main() — ≥192 clips
+                       # measured so relay dispatch jitter averages out
 
 
 def _parse_config(argv):
-    """--config {retrieval,flagship-pairwise} and --batch N (probe only; the
-    headline default stays BATCH). Unknown values fail loudly so a typo can't
-    silently benchmark the wrong workload."""
+    """--config {retrieval,flagship-pairwise} and --batch N (probe override;
+    the defaults are 16 for the retrieval headline and 64 for the continuity
+    workload). Unknown values fail loudly so a typo can't silently benchmark
+    the wrong workload."""
     global BATCH
     cfg, args = "retrieval", list(argv)
     while args:
@@ -57,11 +64,15 @@ def _parse_config(argv):
     if cfg not in ("retrieval", "flagship-pairwise"):
         raise SystemExit(
             f"Unknown bench config {cfg!r} (use retrieval|flagship-pairwise)")
+    if BATCH is None:
+        BATCH = 16 if cfg == "retrieval" else 64
     return cfg
 
 
 def main():
+    global MEASURE_STEPS
     bench_config = _parse_config(sys.argv[1:])
+    MEASURE_STEPS = max(MEASURE_STEPS, 192 // BATCH)
     import jax
 
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
@@ -84,7 +95,12 @@ def main():
         model_cfg = config_lib.retrieval_model_config()
         loss_cfg = config_lib.LossConfig(kind="global")
     else:
+        import dataclasses
         model_cfg = config_lib.flagship_model_config()
+        # the exact BENCH_r01/r02 workload: B=64 does not fit save_hot2
+        model_cfg = dataclasses.replace(
+            model_cfg, audio=dataclasses.replace(model_cfg.audio,
+                                                 remat_policy="save_hot"))
         loss_cfg = config_lib.LossConfig(kind="pairwise")
     cfg = config_lib.ExperimentConfig(
         model=model_cfg,
@@ -156,10 +172,11 @@ def main():
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
         "value": round(per_chip, 3),
-        "unit": ("clips/s/chip (10s clips, flagship geometry, bf16, 5+5 "
-                 "unfrozen, " + ("global InfoNCE retrieval preset"
-                                 if bench_config == "retrieval"
-                                 else "pairwise loss + fusion heads") + ")"),
+        "unit": (f"clips/s/chip (10s clips, flagship geometry, bf16, 5+5 "
+                 f"unfrozen, B={BATCH}, "
+                 + ("global InfoNCE retrieval preset"
+                    if bench_config == "retrieval"
+                    else "pairwise loss + fusion heads") + ")"),
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC, 3),
     }))
     return 0

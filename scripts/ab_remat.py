@@ -41,12 +41,17 @@ def build(variant: str):
 
     parts = variant.split("+")
     policy, tags = parts[0], set(parts[1:])
-    unknown = tags - {"f32frozen", "bf16mu"}
+    unknown = tags - {"f32frozen", "bf16mu", "frozenemb"}
     if unknown:
         raise SystemExit(f"Unknown variant suffix(es) {sorted(unknown)} in "
-                         f"{variant!r} (known: '+f32frozen', '+bf16mu')")
+                         f"{variant!r} (known: '+f32frozen', '+bf16mu', "
+                         "'+frozenemb')")
     frozen_dtype = "float32" if "f32frozen" in tags else None
     mu_dtype = "bfloat16" if "bf16mu" in tags else None
+    # '+frozenemb' freezes the text embedding table and audio feature
+    # projection (FreezeConfig.train_*), so backprop stops at the lowest
+    # unfrozen block instead of traversing every block down to the inputs
+    train_bottom = "frozenemb" not in tags
     asamps = AUDIO_SECONDS * 16000
     m = config_lib.flagship_model_config()
     m = dataclasses.replace(
@@ -55,7 +60,9 @@ def build(variant: str):
         model=m,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
                                        audio_layers_to_unfreeze=5,
-                                       frozen_dtype=frozen_dtype),
+                                       frozen_dtype=frozen_dtype,
+                                       train_text_embeddings=train_bottom,
+                                       train_audio_feature_projection=train_bottom),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5,
                                              warmup_steps=100,
                                              mu_dtype=mu_dtype),

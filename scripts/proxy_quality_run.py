@@ -145,6 +145,11 @@ def main():
                          "--epochs); segment children get it automatically "
                          "so the chain follows ONE linear decay instead of "
                          "per-segment sawtooths")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional dotted key=value config overrides applied "
+                         "on top of the proxy recipe (e.g. "
+                         "freeze.train_text_embeddings=false) — for A/B runs "
+                         "of single levers against a recorded proxy baseline")
     args = ap.parse_args()
     out_dir = args.out_dir
     if args.segment_epochs and args.epochs > args.segment_epochs:
@@ -158,6 +163,8 @@ def main():
             cmd.append("--no-cross-modal")
         if args.preset_retrieval:
             cmd.append("--preset-retrieval")
+        if args.extra:
+            cmd.extend(["--extra", *args.extra])
         ends = list(range(args.segment_epochs, args.epochs,
                           args.segment_epochs)) + [args.epochs]
         for end in ends:
@@ -169,6 +176,8 @@ def main():
         return
     enable()
     cfg = build_config(out_dir, args)
+    if args.extra:
+        cfg = cfg.with_overrides(config_lib.parse_overrides(args.extra))
     results = run_experiment(cfg)
     if "preempted" in results:
         # clean SIGTERM exit: mid-epoch checkpoint written; relaunching the

@@ -115,10 +115,14 @@ class AudioEncoderConfig:
     #                 Measured WORSE than save_flash at B=64 under f32 frozen
     #                 storage (HBM spill traffic); ~equal under bf16 frozen
     #                 storage and best with bf16 Adam mu (scripts/ab_remat.py).
-    #  'save_hot2'  — save_hot + the ffn1 output (+[B,T,H]/block). Does NOT
-    #                 fit at flagship B=64 even under bf16 frozen + bf16 mu
-    #                 (program HBM 11.4G, total >16G — recorded OOM, r3);
-    #                 kept for smaller batches/geometries.
+    #  'save_hot2'  — save_hot + the ffn1 output (+[B,T,H]/block). SHIPPED in
+    #                 the flagship/retrieval presets: fastest at every
+    #                 per-device batch ≤ 32 (52.0 clips/s at B=16, the v5e-8
+    #                 preset's per-chip batch, vs 51.1 under save_hot —
+    #                 r3 ab_remat sweep). Does NOT fit at flagship B=64
+    #                 (program HBM 11.4G, total >16G — recorded OOM, r3):
+    #                 for single-chip runs with per-device batch ≥ 48,
+    #                 override model.audio.remat_policy=save_hot.
     remat_policy: str = "full"
 
     @property
@@ -182,17 +186,18 @@ class ModelConfig:
 def flagship_model_config() -> "ModelConfig":
     """The flagship model/kernel block (`preset=flagship`): 877M mpnet +
     w2v-bert-2.0 geometry, bf16 compute with per-block remat, frozen bottoms
-    scanned for the 5+5 recipe, Pallas flash attention under the save_hot
-    remat policy (save_flash + conv output — fits HBM since the frozen split
-    is stored bf16, and measured faster; ROUND3.md), fused Pallas log-mel
-    frontend (both kernels auto-fall-back off-TPU). The single source of truth
-    shared by train.py's preset, the driver entry, bench.py and the
-    measurement scripts — so every benchmark measures the shipped
-    configuration."""
+    scanned for the 5+5 recipe, Pallas flash attention under the save_hot2
+    remat policy (save_flash + conv + ffn1 outputs — fits HBM at every
+    documented per-device batch ≤ 32 since the frozen split is stored bf16
+    and Adam's mu is bf16, and measured fastest; ROUND3.md ab_remat sweep),
+    fused Pallas log-mel frontend (both kernels auto-fall-back off-TPU). The
+    single source of truth shared by train.py's preset, the driver entry,
+    bench.py and the measurement scripts — so every benchmark measures the
+    shipped configuration."""
     return ModelConfig(
         text=TextEncoderConfig(scan_bottom=7),
         audio=AudioEncoderConfig(scan_bottom=19, use_flash_attention=True,
-                                 remat_policy="save_hot"),
+                                 remat_policy="save_hot2"),
         frontend=FrontendConfig(use_pallas=True),
     )
 
@@ -266,10 +271,14 @@ class FreezeConfig:
     # Reference parity leaves the text embeddings and the audio feature
     # projection trainable (they are never frozen by the per-layer loop,
     # trainer_unfreeze.py:366-401). They sit BELOW the frozen blocks, so
-    # training them forces a full-depth backward pass; set these False to stop
-    # backprop at the lowest unfrozen block (≈1.6× faster steps, far smaller
-    # optimizer state — the text embedding table alone is ~63%% of the
-    # reference's trainable params).
+    # training them forces a full-depth backward pass; set both False to stop
+    # backprop at the lowest unfrozen block — XLA then dead-code-eliminates
+    # the backward (and its remat replay) through every frozen bottom block.
+    # Measured 2.03× faster steps at flagship B=16 (307.3 → 151.4 ms,
+    # 105.7 clips/s — scripts/ab_remat.py '+frozenemb', r3) and far smaller
+    # optimizer state (the text embedding table alone is ~63% of the
+    # reference's trainable params). Quality: see the frozen-bottom proxy run
+    # in ROUND3.md before adopting for a parity comparison.
     train_text_embeddings: bool = True
     train_audio_feature_projection: bool = True
 
