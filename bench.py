@@ -17,6 +17,12 @@ recipe (fusion + word alignment on, pairwise loss) at the r1/r2 workload shape
 (batch 64, save_hot remat — save_hot2 does not fit at B=64) for cross-round
 continuity.
 
+``--config retrieval-frozen`` measures the retrieval recipe with the
+frozen-bottom speed knob (freeze.train_text_embeddings=false +
+train_audio_feature_projection=false, CV_RUNBOOK note): backprop stops at the
+lowest unfrozen block and XLA prunes the entire frozen-bottom backward —
+measured 2.03× the headline (105.7 clips/s at B=16, ROUND3.md).
+
 Baseline: the reference trains ≈5.8 clips/s on a 32 GiB V100-class GPU in fp32
 (BASELINE.md, correct_encoder run, epoch-1 train-only wall time).
 
@@ -61,11 +67,11 @@ def _parse_config(argv):
             BATCH = int(a.split("=", 1)[1])
         else:
             raise SystemExit(f"Unknown argument {a!r}")
-    if cfg not in ("retrieval", "flagship-pairwise"):
-        raise SystemExit(
-            f"Unknown bench config {cfg!r} (use retrieval|flagship-pairwise)")
+    if cfg not in ("retrieval", "retrieval-frozen", "flagship-pairwise"):
+        raise SystemExit(f"Unknown bench config {cfg!r} "
+                         "(use retrieval|retrieval-frozen|flagship-pairwise)")
     if BATCH is None:
-        BATCH = 16 if cfg == "retrieval" else 64
+        BATCH = 64 if cfg == "flagship-pairwise" else 16
     return cfg
 
 
@@ -91,7 +97,7 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     asamps = AUDIO_SECONDS * 16000
 
-    if bench_config == "retrieval":
+    if bench_config.startswith("retrieval"):
         model_cfg = config_lib.retrieval_model_config()
         loss_cfg = config_lib.LossConfig(kind="global")
     else:
@@ -102,11 +108,14 @@ def main():
             model_cfg, audio=dataclasses.replace(model_cfg.audio,
                                                  remat_policy="save_hot"))
         loss_cfg = config_lib.LossConfig(kind="pairwise")
+    train_bottom = bench_config != "retrieval-frozen"
     cfg = config_lib.ExperimentConfig(
         model=model_cfg,
         loss=loss_cfg,
         freeze=config_lib.FreezeConfig(mode="partial", text_layers_to_unfreeze=5,
-                                       audio_layers_to_unfreeze=5),
+                                       audio_layers_to_unfreeze=5,
+                                       train_text_embeddings=train_bottom,
+                                       train_audio_feature_projection=train_bottom),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100,
                                              mu_dtype="bfloat16"),
         data=config_lib.DataConfig(batch_size=BATCH, max_text_length=TEXT_LEN,
@@ -174,9 +183,11 @@ def main():
         "value": round(per_chip, 3),
         "unit": (f"clips/s/chip (10s clips, flagship geometry, bf16, 5+5 "
                  f"unfrozen, B={BATCH}, "
-                 + ("global InfoNCE retrieval preset"
-                    if bench_config == "retrieval"
-                    else "pairwise loss + fusion heads") + ")"),
+                 + {"retrieval": "global InfoNCE retrieval preset",
+                    "retrieval-frozen": ("global InfoNCE retrieval preset, "
+                                         "frozen bottom I/O"),
+                    "flagship-pairwise": "pairwise loss + fusion heads",
+                    }[bench_config] + ")"),
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC, 3),
     }))
     return 0

@@ -432,3 +432,42 @@ def test_freeze_flags_stop_bottom_training(setup):
     assert flat["text_encoder/embeddings/word_embeddings/embedding"] == "frozen"
     assert flat["audio_encoder/feature_projection/kernel"] == "frozen"
     assert flat["audio_encoder/layer_1/ffn1/intermediate/kernel"] == "encoder"
+
+
+def test_frozen_bottom_flags_prune_backward_flops():
+    """With the frozen-bottom speed knob (train_text_embeddings=False +
+    train_audio_feature_projection=False) no trainable param sits below the
+    lowest unfrozen block, so XLA must dead-code-eliminate the backward
+    through every frozen bottom block — the compiled train step's FLOP count
+    drops materially (measured 2.03× step time at flagship geometry,
+    ROUND3.md). Guard the pruning, not the wall-clock."""
+
+    def step_flops(train_bottom: bool) -> float:
+        cfg = tiny_experiment(freeze=FreezeConfig(
+            mode="partial", text_layers_to_unfreeze=1,
+            audio_layers_to_unfreeze=1,
+            train_text_embeddings=train_bottom,
+            train_audio_feature_projection=train_bottom))
+        # deepen the frozen bottom (unrolled, so cost analysis counts every
+        # block) to make its backward a visible share of total FLOPs
+        cfg = cfg.with_overrides({"model": {
+            "text": {"num_layers": 4}, "audio": {"num_layers": 4}}})
+        model = DualEncoderModel(cfg.model)
+        params = init_params(model, jax.random.PRNGKey(0))
+        labels = opt_lib.param_labels(params, cfg.freeze, cfg.model)
+        tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze,
+                                    opt_lib.split_params(labels, labels)[0],
+                                    total_steps=10)
+        state = create_train_state(params, labels, tx)
+        frontend = LogMelFrontend(cfg.model.frontend)
+        step = make_train_step(cfg, model, frontend, tx)
+        batch = _host_batches(cfg, n=1)[0]
+        compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):   # older jax returns [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+
+    full_depth = step_flops(True)
+    pruned = step_flops(False)
+    assert pruned < 0.85 * full_depth, (pruned, full_depth)
