@@ -123,6 +123,13 @@ class AudioEncoderConfig:
     #                 (program HBM 11.4G, total >16G — recorded OOM, r3):
     #                 for single-chip runs with per-device batch ≥ 48,
     #                 override model.audio.remat_policy=save_hot.
+    #  'save_hot3'  — save_hot2 + projected q/k/v (+3×[B,T,H]/block). Measured
+    #                 SLOWER than save_hot2 at B=16 (317.5 vs 308.9 ms,
+    #                 same-process A/B, r3): the extra HBM write+read traffic
+    #                 of the saved tensors outweighs the three skipped
+    #                 projection matmuls — the backward is bandwidth-bound,
+    #                 not MXU-bound. Kept as a tested lever for future
+    #                 geometries.
     remat_policy: str = "full"
 
     @property

@@ -35,7 +35,7 @@ NEG_INF = jnp.finfo(jnp.float32).min
 
 # remat policies that save named activations (vs 'full' recompute); each
 # successive policy saves a superset of the previous one's names
-SAVE_POLICIES = ("save_flash", "save_hot", "save_hot2")
+SAVE_POLICIES = ("save_flash", "save_hot", "save_hot2", "save_hot3")
 
 
 def swish(x):
@@ -116,6 +116,14 @@ class RelPositionAttention(nn.Module):
         q = split(nn.Dense(h, dtype=self.dtype, name="query")(x))
         k = split(nn.Dense(h, dtype=self.dtype, name="key")(x))
         v = split(nn.Dense(h, dtype=self.dtype, name="value")(x))
+        if c.remat_policy == "save_hot3":
+            # keep the projected q/k/v (+3×[B,T,H]/block): the backward
+            # replay skips the three projection matmuls, and the flash
+            # kernel's backward consumes the saved tensors directly
+            from jax.ad_checkpoint import checkpoint_name
+            q = checkpoint_name(q, "attn_q")
+            k = checkpoint_name(k, "attn_k")
+            v = checkpoint_name(v, "attn_v")
 
         num_pos = c.left_max_rel_pos + c.right_max_rel_pos + 1
         dist_emb = self.param(
@@ -211,7 +219,7 @@ class ConformerBlock(nn.Module):
                                        name=name)
         ffn1_out = AudioFeedForward(c, self.dtype, name="ffn1")(
             ln("ffn1_norm")(x), deterministic=deterministic)
-        if c.remat_policy == "save_hot2":
+        if c.remat_policy in ("save_hot2", "save_hot3"):
             from jax.ad_checkpoint import checkpoint_name
             ffn1_out = checkpoint_name(ffn1_out, "ffn1_out")
         x = x + 0.5 * ffn1_out
@@ -221,7 +229,7 @@ class ConformerBlock(nn.Module):
                            deterministic=deterministic)(attn)
         conv_out = ConvModule(c, self.dtype, name="conv")(
             x, mask, deterministic=deterministic)
-        if c.remat_policy in ("save_hot", "save_hot2"):
+        if c.remat_policy in ("save_hot", "save_hot2", "save_hot3"):
             # tag for save_only_these_names: the replay skips the conv module
             # (GLU + depthwise + pointwise convs) at +[B,T,H]/block residency
             from jax.ad_checkpoint import checkpoint_name
@@ -249,7 +257,7 @@ class AudioEncoder(nn.Module):
             # recompute (only exact policy strings select a policy)
             raise ValueError(
                 f"Unknown remat_policy {c.remat_policy!r}; use 'full', "
-                "'save_flash', 'save_hot' or 'save_hot2'")
+                "'save_flash', 'save_hot', 'save_hot2' or 'save_hot3'")
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="feature_norm")(features)
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)
@@ -284,11 +292,16 @@ class AudioEncoder(nn.Module):
                     # storage, FreezeConfig.frozen_dtype). Tagged in
                     # ConformerBlock independent of flash attention.
                     names.append("conv_out")
-                if c.remat_policy == "save_hot2":
+                if c.remat_policy in ("save_hot2", "save_hot3"):
                     # + the ffn1 output: the replay also skips the first
                     # feed-forward (+[B,T,H]/block) — fits only under the
                     # bf16-frozen + bf16-mu freed-HBM budget
                     names.append("ffn1_out")
+                if c.remat_policy == "save_hot3":
+                    # + projected q/k/v (+3×[B,T,H]/block): the replay skips
+                    # the attention projections and the flash backward reads
+                    # the saved tensors
+                    names += ["attn_q", "attn_k", "attn_v"]
                 if names:
                     policy = jax.checkpoint_policies.save_only_these_names(
                         *names)

@@ -295,7 +295,7 @@ def test_save_hot_remat_without_flash_attention():
     feats = jnp.asarray(rng.normal(size=(2, 24, 8)).astype(np.float32))
     mask = jnp.ones((2, 24), jnp.int32)
     outs = {}
-    for policy in ("full", "save_hot", "save_hot2"):
+    for policy in ("full", "save_hot", "save_hot2", "save_hot3"):
         cfg = AudioEncoderConfig(
             feature_dim=8, hidden_size=16, num_layers=2, num_heads=2,
             intermediate_size=32, conv_kernel_size=4,
@@ -311,7 +311,7 @@ def test_save_hot_remat_without_flash_attention():
 
         val, grads = jax.jit(jax.value_and_grad(loss))(params)
         outs[policy] = (float(val), grads)
-    for policy in ("save_hot", "save_hot2"):
+    for policy in ("save_hot", "save_hot2", "save_hot3"):
         assert outs[policy][0] == outs["full"][0]
         jax.tree.map(np.testing.assert_array_equal,
                      outs[policy][1], outs["full"][1])

@@ -159,7 +159,8 @@ def test_save_residuals_gradient_parity(inputs):
                                    rtol=1e-6, atol=1e-6, err_msg=f"d{name}")
 
 
-@pytest.mark.parametrize("saved_policy", ["save_flash", "save_hot"])
+@pytest.mark.parametrize("saved_policy", ["save_flash", "save_hot",
+                                          "save_hot3"])
 def test_remat_policy_saved_matches_full(saved_policy):
     """AudioEncoder under remat with policy='save_flash'/'save_hot': same loss
     and parameter gradients as the default full-recompute remat."""
