@@ -21,8 +21,30 @@ from speech_transcript_embeddings_tpu import config as config_lib
 from speech_transcript_embeddings_tpu.training.loop import run_experiment
 
 
+_HELP = """\
+usage: python -m speech_transcript_embeddings_tpu.train [preset=NAME] [k=v ...]
+
+Presets (see docs/CV_RUNBOOK.md for full recipes):
+  tiny              small synthetic smoke run (CPU or one chip)
+  flagship          reference-parity best-gap recipe (pairwise loss, fusion +
+                    word-alignment heads, mpnet + w2v-bert-2.0 geometry)
+  flagship-roberta  the reference's all-roberta-large-v1 text encoder variant
+  retrieval         the north-star Recall@1 recipe (global InfoNCE, fusion
+                    off) — the shipped v5e-8 configuration
+
+Overrides are dotted key=value pairs into the typed config (config.py), with
+values parsed as JSON when possible:
+  data.dataset=common_voice data.batch_size=128 train.num_epochs=30
+  loss.kind=global model.audio.remat_policy=save_hot
+  freeze.train_text_embeddings=false   # 2x frozen-bottom speed knob
+  train.init_checkpoint=converted/mpnet_w2vbert train.output_dir=runs/cv
+"""
+
+
 def build_config(argv) -> config_lib.ExperimentConfig:
     argv = list(argv)
+    if any(a in ("--help", "-h", "help") for a in argv):
+        raise SystemExit(_HELP)
     preset = None
     for item in list(argv):
         if item.startswith("preset="):
