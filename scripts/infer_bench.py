@@ -3,7 +3,12 @@
 the counterpart of the reference's eval throughput (~12.5 clips/s on V100,
 BASELINE.md). Measures the jitted embed step: on-device log-mel frontend +
 conformer + attentive pooling + projection, audio side, B=64, 10 s clips,
-plus the text side at T=64. Distinct device-resident batches per step."""
+plus the text side at T=64. Distinct device-resident batches per step.
+
+``--int8`` quantizes every Dense kernel to int8 (dynamic W8A8,
+``ops/quant.py``) before the measurement — the serving configuration of
+``serve.py --int8`` (the v5e MXU runs int8 at 2x the bf16 rate and int8
+weights halve the HBM weight traffic)."""
 
 import os
 import sys
@@ -42,6 +47,29 @@ def main():
     freeze = config_lib.FreezeConfig()
     labels = opt_lib.param_labels(params, freeze, m)
     trainable, frozen = opt_lib.split_params(params, labels)
+    if "--int8" in sys.argv[1:]:
+        # timing is data-independent; zero template params quantize fine
+        from flax import traverse_util
+        from speech_transcript_embeddings_tpu.ops import quant
+        merged = opt_lib.merge_params(trainable, frozen)
+
+        def fwd(p, ids, mask, feats, amask):
+            return model.apply({"params": p}, {
+                "input_ids": ids, "attention_mask": mask,
+                "input_features": feats, "attention_mask_audio": amask})
+
+        import jax.numpy as jnp
+        feats_s, amask_s = jax.eval_shape(
+            frontend, jax.ShapeDtypeStruct((1, asamps), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32))
+        paths = quant.dense_param_paths(
+            fwd, merged, jax.ShapeDtypeStruct((1, TLEN), jnp.int32),
+            jax.ShapeDtypeStruct((1, TLEN), jnp.int32), feats_s, amask_s)
+        merged = jax.jit(quant.quantize_dense_params,
+                         static_argnums=(1,))(merged, paths)
+        trainable = traverse_util.flatten_dict(merged, sep="/")
+        frozen = {}
+        print(f"int8: quantized {len(paths)} Dense kernels", flush=True)
     embed = make_embed_step(model, frontend)
 
     rng = np.random.default_rng(0)

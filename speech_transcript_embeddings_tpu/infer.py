@@ -64,6 +64,8 @@ def _bar_chart(values, labels, title, path):
 
 def run_pair(args) -> float:
     emb = Embedder.from_checkpoint(args.checkpoint)
+    if getattr(args, "int8", False):
+        emb.quantize_int8()
     audio = _load_audio(args.audio)
     print("=" * 60)
     print("Audio-Text Similarity Inference")
@@ -81,6 +83,8 @@ def run_pair(args) -> float:
 
 def run_batch(args) -> dict:
     emb = Embedder.from_checkpoint(args.checkpoint)
+    if getattr(args, "int8", False):
+        emb.quantize_int8()
     data_cfg = emb.cfg.data
     if args.dataset:
         data_cfg = dataclasses.replace(data_cfg, dataset=args.dataset)
@@ -172,6 +176,8 @@ def main(argv=None):
                    help="wav path or synthetic:<sentence>")
     p.add_argument("--text", required=True)
     p.add_argument("--output", default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantize Dense matmuls before inference")
     b = sub.add_parser("batch", help="score the test split")
     b.add_argument("--checkpoint", required=True)
     b.add_argument("--num-samples", type=int, default=10)
@@ -179,6 +185,8 @@ def main(argv=None):
                    choices=[None, "synthetic", "common_voice", "local"])
     b.add_argument("--results-dir", default="cv_results")
     b.add_argument("--per-sample-plots", action="store_true")
+    b.add_argument("--int8", action="store_true",
+                   help="int8-quantize Dense matmuls before inference")
     args = parser.parse_args(argv)
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
     enable()

@@ -26,7 +26,7 @@ from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer
 from speech_transcript_embeddings_tpu.models.dual_encoder import (
     DualEncoderModel, init_params, l2_normalize,
 )
-from speech_transcript_embeddings_tpu.ops import make_frontend
+from speech_transcript_embeddings_tpu.ops import make_frontend, quant
 from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
 from speech_transcript_embeddings_tpu.training import optimizer as opt_lib
 
@@ -65,27 +65,55 @@ class Embedder:
             merged = opt_lib.merge_params(dict(trainable), dict(frozen))
         return cls(cfg, merged, tokenizer)
 
+    # ---- int8 quantization -----------------------------------------------------
+
+    def quantize_int8(self) -> "Embedder":
+        """Quantize every Dense kernel on the inference path to int8 (dynamic
+        W8A8, ``ops/quant.py``) in place. The jitted applies below always run
+        under the int8 interceptor — a no-op for full-precision params — so
+        the structure change of the params pytree alone triggers fresh traces
+        on the quantized path. Returns self for chaining."""
+        L = self.cfg.data.max_text_length
+        bucket = min(self.cfg.data.audio_buckets)
+        args = (self.params,
+                jax.ShapeDtypeStruct((1, L), jnp.int32),
+                jax.ShapeDtypeStruct((1, L), jnp.int32),
+                jax.ShapeDtypeStruct((1, bucket), jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.int32))
+        paths = quant.dense_param_paths(self._pair_full, *args)
+        self.params = jax.jit(quant.quantize_dense_params,
+                              static_argnums=(1,))(self.params, paths)
+        return self
+
     # ---- jitted kernels ------------------------------------------------------
+    # every apply runs under the int8 interceptor: full-precision params fall
+    # straight through (trace-time isinstance check only), quantized params
+    # (kernel_q present) take the dynamic int8 matmul path.
 
     def _embed_text(self, params, input_ids, attention_mask):
-        proj, _ = self.model.apply({"params": params}, input_ids, attention_mask,
-                                   method=DualEncoderModel.encode_text)
+        with quant.intercept_int8():
+            proj, _ = self.model.apply({"params": params}, input_ids,
+                                       attention_mask,
+                                       method=DualEncoderModel.encode_text)
         return l2_normalize(proj)
 
     def _embed_audio(self, params, waveform, num_samples):
         features, mask = self.frontend(waveform, num_samples)
-        proj, _ = self.model.apply({"params": params}, features, mask,
-                                   method=DualEncoderModel.encode_audio)
+        with quant.intercept_int8():
+            proj, _ = self.model.apply({"params": params}, features, mask,
+                                       method=DualEncoderModel.encode_audio)
         return l2_normalize(proj)
 
     def _pair(self, params, batch):
-        return self.model.apply({"params": params}, batch)
+        with quant.intercept_int8():
+            return self.model.apply({"params": params}, batch)
 
     def _pair_full(self, params, ids, mask, wav, lens):
         features, amask = self.frontend(wav, lens)
         batch = {"input_ids": ids, "attention_mask": mask,
                  "input_features": features, "attention_mask_audio": amask}
-        return self.model.apply({"params": params}, batch)
+        with quant.intercept_int8():
+            return self.model.apply({"params": params}, batch)
 
     # ---- public API ----------------------------------------------------------
 

@@ -167,9 +167,13 @@ class MicroBatcher:
 
 class EmbeddingService:
     def __init__(self, checkpoint: str, max_batch: int = 64,
-                 window_ms: float = 3.0):
+                 window_ms: float = 3.0, int8: bool = False):
         from speech_transcript_embeddings_tpu.inference.embed import Embedder
         self.embedder = Embedder.from_checkpoint(checkpoint)
+        if int8:
+            # dynamic W8A8 Dense quantization (ops/quant.py): int8 MXU rate +
+            # halved weight HBM traffic for the serving path
+            self.embedder.quantize_int8()
         self._started = time.monotonic()
         self._lock = threading.Lock()
         self._text_batcher = MicroBatcher(
@@ -259,8 +263,9 @@ def make_handler(service: EmbeddingService):
     return Handler
 
 
-def serve(checkpoint: str, host: str = "127.0.0.1", port: int = 8787):
-    service = EmbeddingService(checkpoint)
+def serve(checkpoint: str, host: str = "127.0.0.1", port: int = 8787,
+          int8: bool = False):
+    service = EmbeddingService(checkpoint, int8=int8)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"serving embeddings from {checkpoint} on http://{host}:{server.server_port}")
     server.serve_forever()
@@ -271,10 +276,12 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--int8", action="store_true",
+                   help="serve int8-quantized Dense matmuls (dynamic W8A8)")
     args = p.parse_args(argv)
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
     enable()
-    serve(args.checkpoint, args.host, args.port)
+    serve(args.checkpoint, args.host, args.port, int8=args.int8)
 
 
 if __name__ == "__main__":

@@ -162,6 +162,7 @@ def make_embed_step(model: DualEncoderModel, frontend: LogMelFrontend):
 
     @jax.jit
     def embed_step(trainable, frozen, batch):
+        from speech_transcript_embeddings_tpu.ops import quant
         params = opt_lib.merge_params(trainable, frozen)
         features, audio_mask = frontend(batch["waveform"], batch["num_samples"])
         mb = {
@@ -170,6 +171,9 @@ def make_embed_step(model: DualEncoderModel, frontend: LogMelFrontend):
             "input_features": features,
             "attention_mask_audio": audio_mask,
         }
-        return model.apply({"params": params}, mb, deterministic=True)
+        # int8 interceptor: no-op unless the params were quantized
+        # (ops/quant.py), in which case Dense matmuls take the int8 MXU path
+        with quant.intercept_int8():
+            return model.apply({"params": params}, mb, deterministic=True)
 
     return embed_step
