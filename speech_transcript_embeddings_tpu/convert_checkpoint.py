@@ -64,6 +64,8 @@ def build_converted_params(text_hf, audio_hf, heads_cfg=None, seed: int = 0,
 
 
 def main(argv=None):
+    from speech_transcript_embeddings_tpu.utils.env import load_dotenv
+    load_dotenv()   # HF_TOKEN convenience (the hub models are gated/private)
     p = argparse.ArgumentParser(description="Convert HF encoders to a params checkpoint")
     p.add_argument("--text-model",
                    default="sentence-transformers/paraphrase-multilingual-mpnet-base-v2")

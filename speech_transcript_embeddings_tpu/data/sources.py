@@ -112,6 +112,45 @@ class SyntheticSource:
                 for i in range(self.num_examples(split))]
 
 
+def _length_cache_path(cfg: DataConfig, key: str) -> str:
+    """On-disk home of a persisted length histogram (see
+    DataConfig.length_cache_dir)."""
+    import os
+    root = (cfg.length_cache_dir
+            or os.environ.get("STE_LENGTH_CACHE_DIR")
+            or os.path.expanduser(
+                "~/.cache/speech_transcript_embeddings_tpu/lengths"))
+    return os.path.join(root, key + ".json")
+
+
+def _load_cached_lengths(path: str, expected_n: int):
+    """→ cached lengths list, or None when absent/stale (wrong example count —
+    the dataset changed under the cache)."""
+    import json
+    import os
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return None
+    lengths = data.get("lengths")
+    if not isinstance(lengths, list) or len(lengths) != expected_n:
+        return None
+    return lengths
+
+
+def _store_cached_lengths(path: str, lengths) -> None:
+    import json
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"lengths": [int(x) for x in lengths]}, f)
+    os.replace(tmp, path)
+
+
 class CommonVoiceSource:
     """Mozilla Common Voice via HF datasets (requires hub access + acceptance).
 
@@ -140,15 +179,25 @@ class CommonVoiceSource:
 
     def audio_lengths(self, split: str) -> List[int]:
         """Decoded waveform lengths. HF datasets has no cheap duration column
-        for Common Voice, so this decodes each clip once — a one-off startup
-        pass that buys an exact LR schedule under bucketing (the per-bucket
-        batch counts depend only on the length histogram). Cached per split."""
+        for Common Voice, so computing these decodes each clip once — tens of
+        minutes on the full corpus. The result is therefore persisted to the
+        on-disk length cache (DataConfig.length_cache_dir) keyed by dataset
+        config + split + example count, so resumed and segmented child
+        processes (proxy_quality_run --segment-epochs chains) re-read it
+        instead of re-decoding every split."""
         cache = getattr(self, "_length_cache", None)
         if cache is None:
             cache = self._length_cache = {}
         if split not in cache:
-            cache[split] = [len(row["audio"]["array"])
-                            for row in self._ds[split]]
+            n = self.num_examples(split)
+            path = _length_cache_path(
+                self.cfg, f"common_voice_17_{self.cfg.dataset_config}_{split}_{n}")
+            lengths = _load_cached_lengths(path, n)
+            if lengths is None:
+                lengths = [len(row["audio"]["array"])
+                           for row in self._ds[split]]
+                _store_cached_lengths(path, lengths)
+            cache[split] = lengths
         return cache[split]
 
 
@@ -192,24 +241,34 @@ class LocalSource:
 
     def audio_lengths(self, split: str) -> List[int]:
         """Post-resample lengths from the WAV headers only (no sample decode);
-        non-WAV rows (e.g. mp3) fall back to a full decode of that row.
-        Cached per split so the decode fallback is paid at most once per
-        process (the exact-schedule count is the only startup consumer)."""
+        non-WAV rows (e.g. mp3) fall back to a full decode of that row. The
+        histogram is persisted to the on-disk length cache (keyed by data_dir
+        + split + row count) so segmented/resumed processes skip even the
+        header scan — and, for mp3 corpora, the full decode."""
+        import hashlib as _hashlib
         import os
         cache = getattr(self, "_length_cache", None)
         if cache is None:
             cache = self._length_cache = {}
         if split in cache:
             return cache[split]
-        out = []
-        for i, (rel, _) in enumerate(self._rows[split]):
-            n = _wav_header_num_samples(os.path.join(self.root, rel))
-            if n is None:
-                out.append(len(self.example_at(split, i).audio))  # 16 kHz
-            else:
-                frames, sr = n
-                # both resamplers emit floor(n·sr_out/sr_in) samples
-                out.append(frames if sr == 16000 else frames * 16000 // sr)
+        n_rows = len(self._rows[split])
+        root_key = _hashlib.sha1(
+            os.path.abspath(self.root).encode()).hexdigest()[:12]
+        path = _length_cache_path(self.cfg,
+                                  f"local_{root_key}_{split}_{n_rows}")
+        out = _load_cached_lengths(path, n_rows)
+        if out is None:
+            out = []
+            for i, (rel, _) in enumerate(self._rows[split]):
+                n = _wav_header_num_samples(os.path.join(self.root, rel))
+                if n is None:
+                    out.append(len(self.example_at(split, i).audio))  # 16 kHz
+                else:
+                    frames, sr = n
+                    # both resamplers emit floor(n·sr_out/sr_in) samples
+                    out.append(frames if sr == 16000 else frames * 16000 // sr)
+            _store_cached_lengths(path, out)
         cache[split] = out
         return out
 

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from speech_transcript_embeddings_tpu.config import ExperimentConfig
-from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer, Tokenizer
+from speech_transcript_embeddings_tpu.data.tokenizers import (
+    Tokenizer, resolve_tokenizer,
+)
 from speech_transcript_embeddings_tpu.models.dual_encoder import (
     DualEncoderModel, init_params, l2_normalize,
 )
@@ -38,8 +40,12 @@ class Embedder:
         self.model = DualEncoderModel(cfg.model)
         self.frontend = make_frontend(cfg.model.frontend)
         self.params = params
-        self.tokenizer = tokenizer or SimpleWordTokenizer(
-            vocab_size=cfg.model.text.vocab_size)
+        # no explicit tokenizer → resolve from the config, exactly as training
+        # did (for checkpoints, cfg IS the training config from metadata.json,
+        # so a common_voice-trained model gets its training tokenizer back —
+        # or a loud error if the metadata lacks one, never a silent hash
+        # fallback that would garble real text)
+        self.tokenizer = tokenizer or resolve_tokenizer(cfg, context="inference")
         self._embed_text_jit = jax.jit(self._embed_text)
         self._embed_audio_jit = jax.jit(self._embed_audio)
         self._pair_jit = jax.jit(self._pair)

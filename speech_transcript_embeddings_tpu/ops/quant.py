@@ -107,7 +107,9 @@ def int8_interceptor(next_fun, args, kwargs, context):
             and context.method_name == "__call__"
             and mod.has_variable("params", "kernel_q")):
         return next_fun(*args, **kwargs)
-    (x,) = args
+    # nn.Dense takes its input positionally today, but tolerate keyword calls
+    # from future model code (dense(inputs=x))
+    x = args[0] if args else kwargs["inputs"]
     wq = mod.get_variable("params", "kernel_q")        # [..., in, out] int8
     ws = mod.get_variable("params", "kernel_scale")    # [..., out] f32
     xf = x.astype(jnp.float32)

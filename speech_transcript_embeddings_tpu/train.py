@@ -41,6 +41,13 @@ values parsed as JSON when possible:
 """
 
 
+# each preset's data.tokenizer is its TEXT ENCODER's own tokenizer — the
+# reference's invariant (trainer_unfreeze.py:1387 tokenizes with
+# AutoTokenizer.from_pretrained(text_model_name)); it travels with every
+# checkpoint via metadata.json (see DataConfig.tokenizer)
+_MPNET_TOKENIZER = "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
+
+
 def build_config(argv) -> config_lib.ExperimentConfig:
     argv = list(argv)
     if any(a in ("--help", "-h", "help") for a in argv):
@@ -75,6 +82,7 @@ def build_config(argv) -> config_lib.ExperimentConfig:
                 mode="partial", text_layers_to_unfreeze=5,
                 audio_layers_to_unfreeze=5),
             optimizer=config_lib.OptimizerConfig(mu_dtype="bfloat16"),
+            data=config_lib.DataConfig(tokenizer=_MPNET_TOKENIZER),
         )
     elif preset == "retrieval":
         # the north-star Recall@1 recipe (BASELINE.json): flagship geometry
@@ -90,6 +98,7 @@ def build_config(argv) -> config_lib.ExperimentConfig:
                 audio_layers_to_unfreeze=5),
             loss=config_lib.LossConfig(kind="global"),
             optimizer=config_lib.OptimizerConfig(mu_dtype="bfloat16"),
+            data=config_lib.DataConfig(tokenizer=_MPNET_TOKENIZER),
         )
     elif preset == "flagship-roberta":
         # the reference's all-roberta-large-v1 configuration (BASELINE.md's
@@ -102,6 +111,8 @@ def build_config(argv) -> config_lib.ExperimentConfig:
                 audio_layers_to_unfreeze=5),
             optimizer=config_lib.OptimizerConfig(learning_rate=3e-5,
                                                  mu_dtype="bfloat16"),
+            data=config_lib.DataConfig(
+                tokenizer="sentence-transformers/all-roberta-large-v1"),
         )
     elif preset is not None:
         raise SystemExit(
@@ -113,6 +124,8 @@ def build_config(argv) -> config_lib.ExperimentConfig:
 
 def main(argv=None):
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
+    from speech_transcript_embeddings_tpu.utils.env import load_dotenv
+    load_dotenv()   # HF_TOKEN convenience, reference trainer_unfreeze.py:31-32
     enable()
     cfg = build_config(sys.argv[1:] if argv is None else argv)
     if cfg.mesh.multihost:

@@ -28,7 +28,6 @@ import numpy as np
 from speech_transcript_embeddings_tpu.config import ExperimentConfig
 from speech_transcript_embeddings_tpu.data.pipeline import DataPipeline
 from speech_transcript_embeddings_tpu.data.sources import make_source
-from speech_transcript_embeddings_tpu.data.tokenizers import SimpleWordTokenizer
 from speech_transcript_embeddings_tpu.models.dual_encoder import (
     DualEncoderModel,
     init_params,
@@ -65,6 +64,28 @@ def request_preemption(signum=None, frame=None) -> None:
     _PREEMPT.set()
 
 
+def preempt_agreed(local: bool) -> bool:
+    """Coordinated preemption decision across hosts.
+
+    Multi-host checkpoint saves are collectives — one host entering the save
+    while another is still dispatching train steps would deadlock. So the
+    decision to preempt must be unanimous-by-agreement: each host contributes
+    its local SIGTERM flag, the flags are allgathered, and every host preempts
+    iff ANY host was signalled (maintenance events don't necessarily hit all
+    hosts in the same instant). Single-process runs take the free local path.
+
+    Must be called at the same batch index on every process (the loop calls it
+    on the log-window cadence, which is deterministic across the identically
+    seeded pipelines).
+    """
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(
+        np.asarray([local], dtype=np.bool_))
+    return bool(np.any(flags))
+
+
 def _device_memory_gib():
     """Device HBM in use (GiB), or None where the backend has no stats — the
     TPU equivalent of the reference's CUDA memory print every 100 batches
@@ -98,10 +119,12 @@ def _metrics_add(acc, metrics):
 
 
 def default_tokenizer(cfg: ExperimentConfig):
-    if cfg.data.dataset == "common_voice":
-        from speech_transcript_embeddings_tpu.data.tokenizers import HFTokenizer
-        return HFTokenizer("sentence-transformers/paraphrase-multilingual-mpnet-base-v2")
-    return SimpleWordTokenizer(vocab_size=cfg.model.text.vocab_size)
+    """The training tokenizer follows ``cfg.data.tokenizer`` — the same
+    resolution inference/serving use when they restore the config from
+    checkpoint metadata, so the tokenizer identity travels with the model
+    (reference invariant: trainer_unfreeze.py:1387 / processor.py:33)."""
+    from speech_transcript_embeddings_tpu.data.tokenizers import resolve_tokenizer
+    return resolve_tokenizer(cfg, context="training run")
 
 
 def evaluate(cfg, eval_step, state, pipeline, source, split: str, epoch: int,
@@ -221,8 +244,7 @@ def run_experiment(cfg: ExperimentConfig, source=None, tokenizer=None,
     """Wrapper owning the SIGTERM preemption handler: installs it for the
     duration of the experiment and always restores the previous disposition,
     so a library caller's process stays killable after training returns."""
-    preempt_enabled = (cfg.train.preempt_checkpoint
-                       and jax.process_count() == 1)
+    preempt_enabled = cfg.train.preempt_checkpoint
     prev_sigterm, installed = None, False
     if preempt_enabled and \
             _threading.current_thread() is _threading.main_thread():
@@ -372,13 +394,18 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
     else:
         place_batch = jax.device_put
 
-    if cfg.train.preempt_checkpoint and not preempt_enabled:
-        # per-process mid-epoch saves are uncoordinated across hosts: one
-        # host entering the (collective) checkpoint save while another is
-        # still in train_step's collectives would deadlock. Multi-host
-        # preemption needs a coordinated drain — not claimed yet.
-        logger.warning("preempt_checkpoint disabled: multi-host runs need "
-                       "coordinated preemption (process_count > 1)")
+    multihost_preempt = preempt_enabled and jax.process_count() > 1
+    if multihost_preempt:
+        # per-process mid-epoch saves are collectives, so the decision to
+        # enter one must be agreed: the per-host SIGTERM flags are
+        # allgathered on the log-window cadence (the loop's one existing
+        # host-sync point — no extra per-batch sync) and every host
+        # preempts iff any was signalled (preempt_agreed)
+        logger.info(
+            f"Coordinated preemption: SIGTERM flags allgathered across "
+            f"{jax.process_count()} processes every "
+            f"{cfg.train.log_every_batches} batches; all hosts enter the "
+            f"mid-epoch save together")
 
     start_epoch = 1
     resume_skip_batches = 0
@@ -460,7 +487,17 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
             if (inject_at is not None and epoch == start_epoch
                     and n_batches + 1 >= inject_at):
                 request_preemption()
-            if preempt_enabled and _PREEMPT.is_set():
+            if multihost_preempt:
+                # coordinated check on the log-window cadence only (every
+                # process reaches the same batch index, so the allgather is
+                # a matched collective); preemption latency is bounded by
+                # one log window of steps
+                do_preempt = (
+                    (n_batches + 1) % cfg.train.log_every_batches == 0
+                    and preempt_agreed(_PREEMPT.is_set()))
+            else:
+                do_preempt = preempt_enabled and _PREEMPT.is_set()
+            if do_preempt:
                 if profiling:
                     jax.profiler.stop_trace()
                 batches.close()   # unblock + stop the prefetch worker

@@ -208,7 +208,11 @@ def test_proxy_preset_path_matches_midsize_geometry():
                                remat_policy="full") == base.model.audio
     assert cfg.model.heads == base.model.heads
     assert cfg.loss == base.loss and cfg.loss.kind == "global"
-    assert cfg.data == base.data
+    # the preset carries its text encoder's HF tokenizer; inert here — the
+    # proxy data is synthetic, which always resolves to the hash tokenizer
+    # (resolve_tokenizer), so the runs stay byte-comparable
+    assert cfg.data.tokenizer is not None
+    assert dataclasses.replace(cfg.data, tokenizer=None) == base.data
     assert cfg.optimizer == base.optimizer
     assert cfg.freeze == base.freeze
 
@@ -245,3 +249,22 @@ def test_plots_written(tmp_path):
                                  str(tmp_path / "prog.png"))
     for p in (p1, p2):
         assert p is not None and os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_load_dotenv(tmp_path, monkeypatch):
+    """Reference convenience parity: HF_TOKEN from a .env file
+    (trainer_unfreeze.py:31-32,47) — shell-set variables win."""
+    import os
+
+    from speech_transcript_embeddings_tpu.utils.env import load_dotenv
+
+    p = tmp_path / ".env"
+    p.write_text("# comment\nexport HF_TOKEN='hf_abc123'\nEMPTY=\nOTHER=\"x y\"\n")
+    monkeypatch.delenv("HF_TOKEN", raising=False)
+    monkeypatch.setenv("OTHER", "shell-wins")
+    parsed = load_dotenv(str(p))
+    assert parsed["HF_TOKEN"] == "hf_abc123"
+    assert os.environ["HF_TOKEN"] == "hf_abc123"
+    assert os.environ["OTHER"] == "shell-wins"
+    monkeypatch.delenv("HF_TOKEN", raising=False)
+    assert load_dotenv(str(tmp_path / "missing.env")) == {}

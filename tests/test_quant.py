@@ -61,10 +61,8 @@ def test_quantizes_only_dense_kernels_and_keeps_structure():
             assert leaf.dtype != jnp.int8
         if keys[-1] == "kernel_q":
             assert leaf.dtype == jnp.int8
-            # a per-output-channel scale accompanies every quantized kernel
-            assert any(getattr(k, "key", "") == "kernel_scale"
-                       for k, in zip(path)) or True
-    # every quantized module kept its bias (when it had one) and gained a scale
+    # every quantized kernel is accompanied by a per-output-channel scale and
+    # keeps its bias; walk() below checks the sibling dict directly
     def walk(node, prefix=()):
         for k, v in node.items():
             if isinstance(v, dict):
