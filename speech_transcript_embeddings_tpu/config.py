@@ -284,9 +284,12 @@ class FreezeConfig:
     # Measured 2.03× faster steps at flagship B=16 (307.3 → 151.4 ms,
     # 105.7 clips/s — scripts/ab_remat.py '+frozenemb', r3) and far smaller
     # optimizer state (the text embedding table alone is ~63% of the
-    # reference's trainable params). Quality: see the frozen-bottom proxy run
-    # in ROUND4.md (runs/proxy_frozen_bottom_48) before adopting for a parity
-    # comparison.
+    # reference's trainable params). Quality: measured in the r4 proxy
+    # (runs/proxy_frozen_bottom_48, ROUND4.md) — from RANDOM init this lever
+    # destroys quality (Recall@1 0.95% vs 84.2% baseline at 48 epochs) because
+    # frozen random tables carry no signal; it is sound only when the frozen
+    # bottom is pretrained (the reference's actual setting). Not a preset
+    # default.
     train_text_embeddings: bool = True
     train_audio_feature_projection: bool = True
 

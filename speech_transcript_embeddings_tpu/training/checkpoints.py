@@ -35,6 +35,67 @@ def _state_to_pytree(state: TrainState) -> Dict[str, Any]:
     }
 
 
+# device→host fetch tuning for save_checkpoint: the axon relay's d2h path is
+# ~5.5 MB/s for a single stream but ~50 MB/s with ~32 concurrent ~8 MB
+# transfers (measured r4) — a 6 GB flagship `latest` save drops from ~10 min
+# to ~2 min. Pieces are fetched in bounded waves so the transient device-side
+# slice copies and host buffers stay small.
+_FETCH_CHUNK_BYTES = 8 << 20
+_FETCH_WAVE_BYTES = 256 << 20
+
+
+def fetch_to_host(tree, chunk_bytes: int = _FETCH_CHUNK_BYTES,
+                  wave_bytes: int = _FETCH_WAVE_BYTES):
+    """Fetch a pytree of device arrays to host numpy with chunked, concurrent
+    d2h transfers (large leaves are split along axis 0 and reassembled).
+
+    Returns an equivalent pytree of host arrays; non-array leaves and arrays
+    that are not fully addressable (multi-host shards) pass through unchanged
+    — orbax handles those itself during save.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    plans = []          # (leaf_idx, [(start_row, end_row), ...] or None)
+    for i, a in enumerate(leaves):
+        if (not isinstance(a, jax.Array)
+                or not getattr(a, "is_fully_addressable", True)):
+            plans.append((i, None))
+        elif a.nbytes <= chunk_bytes or a.ndim == 0 or a.shape[0] < 2:
+            plans.append((i, [(None, None)]))
+        else:
+            rows = max(1, chunk_bytes * a.shape[0] // a.nbytes)
+            plans.append((i, [(s, min(s + int(rows), a.shape[0]))
+                              for s in range(0, a.shape[0], int(rows))]))
+
+    # flat piece list → fetch in waves of bounded total bytes
+    pieces = []         # (leaf_idx, piece_slot, device_piece)
+    for i, spans in plans:
+        if spans is None:
+            continue
+        a = leaves[i]
+        for slot, (s, e) in enumerate(spans):
+            pieces.append((i, slot, a if s is None else a[s:e]))
+
+    parts: Dict[int, list] = {}
+    w = 0
+    while w < len(pieces):
+        wave, total = [], 0
+        while w < len(pieces) and (not wave or total < wave_bytes):
+            wave.append(pieces[w])
+            total += wave[-1][2].nbytes
+            w += 1
+        fetched = jax.device_get([p[2] for p in wave])
+        for (i, slot, _), h in zip(wave, fetched):
+            parts.setdefault(i, []).append((slot, h))
+
+    out = list(leaves)
+    for i, spans in plans:
+        if spans is None:
+            continue
+        ps = [h for _, h in sorted(parts[i])]
+        out[i] = ps[0] if len(ps) == 1 else np.concatenate(ps, axis=0)
+    return jax.tree.unflatten(treedef, out)
+
+
 def _atomic_replace(tmp_path: str, path: str) -> None:
     """Write-to-temp-then-rename so a crash mid-save never destroys the
     previous checkpoint (the only resume point)."""
@@ -50,18 +111,38 @@ def _atomic_replace(tmp_path: str, path: str) -> None:
 
 
 def save_checkpoint(path: str, state: TrainState, cfg: ExperimentConfig,
-                    epoch: int, metrics: Optional[dict] = None) -> None:
+                    epoch: int, metrics: Optional[dict] = None,
+                    params_only: bool = False) -> None:
+    """``params_only=True`` drops the optimizer state from the saved tree.
+
+    Used for the best/final checkpoints, which are only ever reloaded for
+    evaluation and inference: the reference also saved optimizer state in every
+    checkpoint but never loaded it (trainer_unfreeze.py:1621 / SURVEY §5.3), so
+    shipping it was pure dead weight — at the 877M flagship geometry the
+    optimizer state is ~60% of the bytes and the device→host fetch dominates
+    save time. ``latest`` (the resume point) always saves the full state.
+    """
     path = os.path.abspath(path)
     tmp_path = path + ".tmp"
     if os.path.exists(tmp_path):
         import shutil
         shutil.rmtree(tmp_path)
+    tree = _state_to_pytree(state)
+    if params_only:
+        tree.pop("opt_state")
+    if jax.process_count() == 1:
+        # host-stage with chunked concurrent d2h (the relay's single-stream
+        # fetch is the save bottleneck); orbax then only does disk writes.
+        # Multi-host saves keep the direct path: non-addressable shards must
+        # be serialized by orbax's distributed machinery.
+        tree = fetch_to_host(tree)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(tmp_path, "state"), _state_to_pytree(state))
+    ckptr.save(os.path.join(tmp_path, "state"), tree)
     ckptr.wait_until_finished()
     meta = {
         "format_version": FORMAT_VERSION,
         "epoch": epoch,
+        "params_only": params_only,
         "metrics": _jsonable(metrics or {}),
         "config": json.loads(cfg.to_json()),
     }
@@ -80,6 +161,11 @@ def restore_checkpoint(path: str, abstract_state: TrainState) -> TrainState:
     freshly created state). Leaves without a concrete sharding (eval_shape
     structs) are restored onto the default device — orbax requires every target
     leaf to carry a concrete ``jax.sharding.Sharding``."""
+    if load_metadata(path).get("params_only"):
+        raise ValueError(
+            f"{path} is a params-only checkpoint (no optimizer state): restore "
+            "it with restore_model_params / load_params_for_model, or resume "
+            "from the 'latest' checkpoint instead")
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
@@ -138,7 +224,9 @@ def save_params_checkpoint(path: str, params, cfg: ExperimentConfig,
         import shutil
         shutil.rmtree(tmp_path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(tmp_path, "params"), {"params": params})
+    tree = ({"params": fetch_to_host(params)} if jax.process_count() == 1
+            else {"params": params})
+    ckptr.save(os.path.join(tmp_path, "params"), tree)
     ckptr.wait_until_finished()
     meta = {
         "format_version": FORMAT_VERSION,

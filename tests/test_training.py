@@ -471,3 +471,69 @@ def test_frozen_bottom_flags_prune_backward_flops():
     full_depth = step_flops(True)
     pruned = step_flops(False)
     assert pruned < 0.85 * full_depth, (pruned, full_depth)
+
+
+def test_params_only_checkpoint(setup, tmp_path):
+    """Best/final checkpoints are saved params-only (no optimizer state — the
+    reference saved it everywhere but never loaded it, trainer_unfreeze.py:1621):
+    the saved tree must restore through the inference path, refuse the full
+    restore path with a clear error, and cost strictly fewer bytes on disk."""
+    import os
+
+    cfg, model, fresh, labels = setup
+    from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze,
+                                opt_lib.split_params(labels, labels)[0],
+                                total_steps=10)
+    state = create_train_state(fresh(), labels, tx)
+
+    full_path = str(tmp_path / "full")
+    slim_path = str(tmp_path / "slim")
+    ckpt_lib.save_checkpoint(full_path, state, cfg, epoch=1)
+    ckpt_lib.save_checkpoint(slim_path, state, cfg, epoch=1, params_only=True)
+
+    assert ckpt_lib.load_metadata(slim_path)["params_only"] is True
+    assert not ckpt_lib.load_metadata(full_path).get("params_only")
+
+    def tree_bytes(p):
+        return sum(os.path.getsize(os.path.join(d, f))
+                   for d, _, fs in os.walk(p) for f in fs)
+
+    assert tree_bytes(slim_path) < tree_bytes(full_path)
+
+    # inference-path restore (what the test phase and Embedder use) round-trips
+    abstract = {"trainable": state.trainable, "frozen": state.frozen}
+    trainable, frozen = ckpt_lib.restore_model_params(slim_path, abstract)
+    for k, v in state.trainable.items():
+        np.testing.assert_array_equal(np.asarray(trainable[k]), np.asarray(v))
+    for k, v in state.frozen.items():
+        np.testing.assert_array_equal(np.asarray(frozen[k]), np.asarray(v))
+
+    # the full-state restore path must fail loudly, not mysteriously
+    with pytest.raises(ValueError, match="params-only"):
+        ckpt_lib.restore_checkpoint(slim_path, state)
+
+
+def test_fetch_to_host_chunked_roundtrip(setup):
+    """fetch_to_host (the chunked-d2h save staging path) must return value-
+    and dtype-identical host arrays, including leaves split into multiple
+    pieces and reassembled."""
+    from speech_transcript_embeddings_tpu.training.checkpoints import (
+        fetch_to_host,
+    )
+
+    tree = {
+        "big_f32": jnp.arange(64 * 33, dtype=jnp.float32).reshape(64, 33),
+        "big_bf16": jnp.arange(40 * 7, dtype=jnp.bfloat16).reshape(40, 7),
+        "small": jnp.ones((3,), jnp.float32),
+        "scalar": jnp.asarray(7, jnp.int32),
+        "pyleaf": 5,
+    }
+    # chunk_bytes tiny → the big leaves split into many row pieces
+    host = fetch_to_host(tree, chunk_bytes=512, wave_bytes=2048)
+    assert host["pyleaf"] == 5
+    for k in ("big_f32", "big_bf16", "small", "scalar"):
+        assert isinstance(host[k], np.ndarray), k
+        assert host[k].dtype == tree[k].dtype, k
+        np.testing.assert_array_equal(host[k], np.asarray(tree[k]))
