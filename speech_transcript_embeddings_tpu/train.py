@@ -38,6 +38,8 @@ values parsed as JSON when possible:
   loss.kind=global model.audio.remat_policy=save_hot
   freeze.train_text_embeddings=false   # 2x frozen-bottom speed knob
   train.init_checkpoint=converted/mpnet_w2vbert train.output_dir=runs/cv
+  train.init_checkpoint=runs/cv/best_model_gap  # warm-start from ANY prior
+                                                # training checkpoint
 """
 
 

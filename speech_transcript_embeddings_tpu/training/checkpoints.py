@@ -240,7 +240,16 @@ def save_params_checkpoint(path: str, params, cfg: ExperimentConfig,
 
 
 def load_params_for_model(path: str, model_cfg) -> dict:
-    """Restore a params-only checkpoint, adapting the encoder scan layout.
+    """Restore model params from ANY checkpoint kind, adapting the scan layout.
+
+    Accepts both converter-style params checkpoints
+    (``save_params_checkpoint``, metadata ``kind: params_only``) and training
+    checkpoints (``save_checkpoint`` — ``latest``/``best_model_*``/
+    ``final_model``/``checkpoint_epoch_N``, full or ``params_only=True``), so
+    ``train.init_checkpoint`` can warm-start a run from converted pretrained
+    encoders OR from any previously trained model — the reference's
+    continue-from-saved-model workflow (trainer_unfreeze.py loads its own
+    ``model.load_state_dict`` artifacts the same way).
 
     The checkpoint's metadata records the scan_bottom it was saved with (the
     converter always writes the unrolled layout); if the target model uses a
@@ -257,7 +266,8 @@ def load_params_for_model(path: str, model_cfg) -> dict:
     )
 
     meta = load_metadata(path)
-    saved = ExperimentConfig.from_json(json.dumps(meta["config"])).model
+    saved_cfg = ExperimentConfig.from_json(json.dumps(meta["config"]))
+    saved = saved_cfg.model
     saved_scan = (saved.text.scan_bottom, saved.audio.scan_bottom)
     target_scan = (model_cfg.text.scan_bottom, model_cfg.audio.scan_bottom)
 
@@ -269,7 +279,22 @@ def load_params_for_model(path: str, model_cfg) -> dict:
     abstract = jax.eval_shape(
         lambda: init_params(DualEncoderModel(saved_layout_cfg),
                             jax.random.PRNGKey(0)))
-    params = restore_params_checkpoint(path, abstract)
+    if meta.get("kind") == "params_only":
+        params = restore_params_checkpoint(path, abstract)
+    else:
+        # training checkpoint: the state tree splits params into
+        # trainable/frozen by the SAVED run's freeze labels — rebuild that
+        # split abstractly, restore just those subtrees (partial restore skips
+        # any optimizer state present), and merge back to one params dict
+        from speech_transcript_embeddings_tpu.training import (
+            optimizer as opt_lib,
+        )
+        labels = opt_lib.param_labels(abstract, saved_cfg.freeze,
+                                      saved_layout_cfg)
+        trainable_s, frozen_s = opt_lib.split_params(abstract, labels)
+        trainable, frozen = restore_model_params(
+            path, {"trainable": trainable_s, "frozen": frozen_s})
+        params = opt_lib.merge_params(dict(trainable), dict(frozen))
     if saved_scan == target_scan:
         return params
     params = dict(params)

@@ -537,3 +537,32 @@ def test_fetch_to_host_chunked_roundtrip(setup):
         assert isinstance(host[k], np.ndarray), k
         assert host[k].dtype == tree[k].dtype, k
         np.testing.assert_array_equal(host[k], np.asarray(tree[k]))
+
+
+def test_init_checkpoint_accepts_training_checkpoints(setup, tmp_path):
+    """train.init_checkpoint warm-starts from ANY training checkpoint
+    (best_model_*/final_model/latest, full or params-only), not just
+    converter output — the reference's continue-from-saved-model workflow.
+    load_params_for_model must return the exact merged params."""
+    from flax import traverse_util
+
+    from speech_transcript_embeddings_tpu.training import checkpoints as ckpt_lib
+
+    cfg, model, fresh, labels = setup
+    tx = opt_lib.make_optimizer(cfg.optimizer, cfg.freeze,
+                                opt_lib.split_params(labels, labels)[0],
+                                total_steps=10)
+    params = fresh()
+    state = create_train_state(params, labels, tx)
+
+    for kind, params_only in (("full", False), ("slim", True)):
+        path = str(tmp_path / kind)
+        ckpt_lib.save_checkpoint(path, state, cfg, epoch=1,
+                                 params_only=params_only)
+        loaded = ckpt_lib.load_params_for_model(path, cfg.model)
+        got = traverse_util.flatten_dict(loaded, sep="/")
+        want = traverse_util.flatten_dict(params, sep="/")
+        assert got.keys() == want.keys(), kind
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=f"{kind}:{k}")
