@@ -286,10 +286,12 @@ class FreezeConfig:
     # optimizer state (the text embedding table alone is ~63% of the
     # reference's trainable params). Quality: measured in the r4 proxy
     # (runs/proxy_frozen_bottom_48, ROUND4.md) — from RANDOM init this lever
-    # destroys quality (Recall@1 0.95% vs 84.2% baseline at 48 epochs) because
-    # frozen random tables carry no signal; it is sound only when the frozen
-    # bottom is pretrained (the reference's actual setting). Not a preset
-    # default.
+    # destroys quality (Recall@1 0.95% at epoch 16 of the 48-epoch schedule,
+    # stopped there because the collapse was unambiguous — the val gap
+    # plateaued at ~0.12 by epoch 6 vs the unfrozen baseline's 84.2% R@1 /
+    # 0.359 gap at 48) because frozen random tables carry no signal; it is
+    # sound only when the frozen bottom is pretrained (the reference's actual
+    # setting — see the warm-start proxy in ROUND4.md). Not a preset default.
     train_text_embeddings: bool = True
     train_audio_feature_projection: bool = True
 
