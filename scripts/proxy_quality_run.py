@@ -105,9 +105,38 @@ def build_config_flagship(out_dir: str, args) -> config_lib.ExperimentConfig:
     ])
 
 
+def build_config_flagship_lengths(out_dir: str, args) -> config_lib.ExperimentConfig:
+    """FULL 877M geometry on the realistic CV-pt clip-length mix (VERDICT r4
+    item 2): synthetic_length_profile='cv' draws lognormal ~4.7 s-mean clip
+    durations (the bench.py::_sample_cv_lengths model), which land across the
+    shipped MXU-aligned buckets (2.6/5.1/10.3/15.4 s) exactly as real Common
+    Voice would — multi-bucket compiled programs, realistic padding waste,
+    max_text_length 48. The strongest offline stand-in for the reference's
+    committed 30-epoch full-size runs
+    (audio_text_model_optimized_unfreeze_3_layers_wt_alignment_correct_encoder/
+    training.log)."""
+    from speech_transcript_embeddings_tpu.train import build_config as cli_build
+    return cli_build([
+        "preset=retrieval",
+        f"data.num_synthetic_samples={args.samples}",
+        "data.batch_size=16", "data.max_text_length=48",
+        "data.synthetic_length_profile=cv",
+        # random-init encoders need a real LR (see build_config_flagship)
+        "optimizer.learning_rate=1e-4", "optimizer.warmup_steps=100",
+        f"train.num_epochs={args.epochs}",
+        f"train.schedule_epochs={args.schedule_epochs or args.epochs}",
+        f"train.accumulation_steps={args.acc}",
+        f"train.output_dir={out_dir}",
+        "train.plot_every=4", "train.log_every_batches=64",
+        "train.save_every=4",
+    ])
+
+
 def build_config(out_dir: str, args) -> config_lib.ExperimentConfig:
     if getattr(args, "geometry", "midsize") == "flagship":
         return build_config_flagship(out_dir, args)
+    if getattr(args, "geometry", "midsize") == "flagship-lengths":
+        return build_config_flagship_lengths(out_dir, args)
     if getattr(args, "preset_retrieval", False):
         return build_config_via_preset(out_dir, args)
     model = config_lib.ModelConfig(
@@ -154,12 +183,15 @@ def main():
     ap.add_argument("--preset-retrieval", action="store_true",
                     help="build the config through train.py's preset=retrieval"
                          " (the shipped Recall@1 recipe path)")
-    ap.add_argument("--geometry", choices=("midsize", "flagship"),
+    ap.add_argument("--geometry",
+                    choices=("midsize", "flagship", "flagship-lengths"),
                     default="midsize",
                     help="flagship = the FULL 877M geometry through "
                          "preset=retrieval (sustained full-size run; real "
                          "chip, one 41200-sample bucket for the synthetic "
-                         "clip lengths)")
+                         "clip lengths); flagship-lengths = same geometry on "
+                         "the realistic CV-pt lognormal clip-length mix "
+                         "(multi-bucket, max_text_length 48)")
     ap.add_argument("--segment-epochs", type=int, default=0,
                     help="run the experiment as a chain of resumed child "
                          "processes of at most N epochs each. The axon relay "

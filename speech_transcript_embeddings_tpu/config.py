@@ -351,6 +351,16 @@ class DataConfig:
     batch_size: int = 16
     shuffle_seed: int = 42
     num_synthetic_samples: int = 256  # for the synthetic source
+    # Synthetic clip-length profile: 'short' = 2-8 words (0.7-2.8 s clips,
+    # the smoke-test default); 'cv' = the documented Common-Voice-pt
+    # approximation (lognormal, median 4.2 s, sigma_log 0.45, mean ~4.7 s —
+    # the same model bench.py::_sample_cv_lengths uses), with words =
+    # round(seconds / 0.35 s-per-word) capped at synthetic_max_words so the
+    # transcript fits max_text_length. 'cv' makes a synthetic flagship run
+    # exercise the real bucketed length mix (multi-bucket programs, realistic
+    # padding waste) instead of a single short bucket.
+    synthetic_length_profile: str = "short"
+    synthetic_max_words: int = 42   # 42 × 0.35 s = 14.7 s — inside the 15 s bucket
     # Directory for the persisted per-split audio-length histograms that feed
     # the exact LR schedule (train.exact_schedule). Computing them costs a
     # header scan (local WAV) or a full decode of every clip (common_voice,
@@ -360,6 +370,13 @@ class DataConfig:
     # STE_LENGTH_CACHE_DIR env var); entries are keyed by dataset identity +
     # split + example count, so a dataset change invalidates them.
     length_cache_dir: Optional[str] = None
+    # Load Common Voice from a local on-disk snapshot (``datasets.save_to_disk``
+    # layout with train/validation/test splits) instead of the HF hub — for
+    # airgapped TPU-VMs holding a pre-downloaded copy, and for the offline
+    # readiness drill (tests/test_cv_readiness.py) that exercises every step
+    # of docs/CV_RUNBOOK.md without egress. None = stream from the hub
+    # (requires HF_TOKEN). Env fallback: STE_CV_LOCAL_DATASET_DIR.
+    cv_local_dataset_dir: Optional[str] = None
     # fetch/decode examples with this many threads (ordered, bounded
     # look-ahead; 0/1 = sequential). Batches are byte-identical to the
     # sequential path — the corruption rng stream stays in the consumer.

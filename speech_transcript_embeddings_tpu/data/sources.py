@@ -89,9 +89,25 @@ class SyntheticSource:
         return np.random.default_rng(
             np.random.SeedSequence([self.seed, 1000 * split_salt, i]))
 
+    def _n_words(self, rng: np.random.Generator) -> int:
+        """Words for one clip — the per-index rng's FIRST draw(s), so
+        ``audio_lengths`` can replay it without synthesizing audio.
+
+        'short': uniform 2-8 words (0.7-2.8 s) — the smoke-test default.
+        'cv': the documented CV-pt duration approximation (lognormal,
+        median 4.2 s, sigma_log 0.45 — bench.py::_sample_cv_lengths),
+        converted to words at 0.35 s/word and capped so the transcript fits
+        ``max_text_length``.
+        """
+        if self.cfg.synthetic_length_profile == "cv":
+            secs = float(np.clip(rng.lognormal(np.log(4.2), 0.45), 1.0, 30.0))
+            return int(np.clip(round(secs / 0.35), 3,
+                               self.cfg.synthetic_max_words))
+        return int(rng.integers(2, 9))
+
     def example_at(self, split: str, i: int) -> Example:
         rng = self._example_rng(split, i)
-        n_words = int(rng.integers(2, 9))
+        n_words = self._n_words(rng)
         words = [_PSEUDO_WORDS[rng.integers(len(_PSEUDO_WORDS))]
                  for _ in range(n_words)]
         sentence = " ".join(words)
@@ -105,10 +121,10 @@ class SyntheticSource:
 
     def audio_lengths(self, split: str) -> List[int]:
         """Raw waveform lengths without synthesizing any audio: the length is
-        ``n_words`` (the per-index rng's first draw) × the per-word sample
+        ``n_words`` (the per-index rng's first draw(s)) × the per-word sample
         count of ``synth_audio_for_sentence``."""
         n_word = int(0.35 * 16000)
-        return [int(self._example_rng(split, i).integers(2, 9)) * n_word
+        return [self._n_words(self._example_rng(split, i)) * n_word
                 for i in range(self.num_examples(split))]
 
 
@@ -158,24 +174,65 @@ class CommonVoiceSource:
     """
 
     def __init__(self, cfg: DataConfig):
+        import os
         self.cfg = cfg
-        from datasets import Audio, load_dataset  # lazy: needs network/cache
-        self._ds = load_dataset("mozilla-foundation/common_voice_17_0",
-                                cfg.dataset_config, token=True)
-        self._ds = self._ds.cast_column("audio", Audio(sampling_rate=16000))
+        local = (cfg.cv_local_dataset_dir
+                 or os.environ.get("STE_CV_LOCAL_DATASET_DIR"))
+        self._local_key = None
+        self._local_root = None
+        if local:
+            # airgapped path: a pre-downloaded snapshot in save_to_disk
+            # layout — everything downstream (16 kHz normalization, splits,
+            # length cache, tokenizer resolution) is identical to the hub
+            # path, so the offline readiness drill exercises the real run's
+            # code. The audio column may be an Audio feature, raw float
+            # arrays, or file paths (decoded by the native audio library).
+            from datasets import load_from_disk
+            self._ds = load_from_disk(local)
+            self._local_key = hashlib.sha1(
+                os.path.abspath(local).encode()).hexdigest()[:12]
+            self._local_root = os.path.abspath(local)
+        else:
+            from datasets import Audio, load_dataset
+            self._ds = load_dataset("mozilla-foundation/common_voice_17_0",
+                                    cfg.dataset_config, token=True)
+            self._ds = self._ds.cast_column("audio",
+                                            Audio(sampling_rate=16000))
+
+    def _row_audio(self, row) -> np.ndarray:
+        """Audio of one row as a float32 16 kHz waveform, whatever the stored
+        schema: a decoded Audio-feature dict (hub path), raw float samples
+        (+ optional ``sampling_rate`` column), or a file path handed to the
+        native decoder."""
+        import os
+        a = row["audio"]
+        if isinstance(a, dict):                      # Audio feature decode
+            wav = np.asarray(a["array"], np.float32)
+            sr = int(a.get("sampling_rate", 16000))
+        elif isinstance(a, str):                     # path → native decode
+            from speech_transcript_embeddings_tpu.data import native_audio
+            p = (a if os.path.isabs(a)
+                 else os.path.join(self._local_root or ".", a))
+            with open(p, "rb") as f:
+                wav, sr = native_audio.decode_audio(f.read(), p)
+        else:                                        # raw sample sequence
+            wav = np.asarray(a, np.float32)
+            sr = int(row.get("sampling_rate", 16000))
+        if sr != 16000:
+            from speech_transcript_embeddings_tpu.data import native_audio
+            wav = native_audio.resample(wav, sr, 16000)
+        return wav
 
     def num_examples(self, split: str) -> int:
         return len(self._ds[split])
 
     def example_at(self, split: str, i: int) -> Example:
         row = self._ds[split][int(i)]
-        return Example(row["sentence"],
-                       np.asarray(row["audio"]["array"], np.float32), 16000)
+        return Example(row["sentence"], self._row_audio(row), 16000)
 
     def examples(self, split: str) -> Iterator[Example]:
         for row in self._ds[split]:
-            yield Example(row["sentence"],
-                          np.asarray(row["audio"]["array"], np.float32), 16000)
+            yield Example(row["sentence"], self._row_audio(row), 16000)
 
     def audio_lengths(self, split: str) -> List[int]:
         """Decoded waveform lengths. HF datasets has no cheap duration column
@@ -190,11 +247,13 @@ class CommonVoiceSource:
             cache = self._length_cache = {}
         if split not in cache:
             n = self.num_examples(split)
+            ident = (f"local_{self._local_key}" if self._local_key
+                     else self.cfg.dataset_config)
             path = _length_cache_path(
-                self.cfg, f"common_voice_17_{self.cfg.dataset_config}_{split}_{n}")
+                self.cfg, f"common_voice_17_{ident}_{split}_{n}")
             lengths = _load_cached_lengths(path, n)
             if lengths is None:
-                lengths = [len(row["audio"]["array"])
+                lengths = [len(self._row_audio(row))
                            for row in self._ds[split]]
                 _store_cached_lengths(path, lengths)
             cache[split] = lengths

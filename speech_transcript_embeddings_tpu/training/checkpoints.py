@@ -47,33 +47,46 @@ _FETCH_WAVE_BYTES = 256 << 20
 def fetch_to_host(tree, chunk_bytes: int = _FETCH_CHUNK_BYTES,
                   wave_bytes: int = _FETCH_WAVE_BYTES):
     """Fetch a pytree of device arrays to host numpy with chunked, concurrent
-    d2h transfers (large leaves are split along axis 0 and reassembled).
+    d2h transfers (large leaves are split along their largest axis and
+    reassembled).
+
+    Device-side slice copies are created lazily, one wave at a time, and
+    dropped as soon as their d2h completes — peak extra HBM is bounded by
+    ``wave_bytes``, not by a full duplicate of the state (the save path runs
+    while the training state is live, so an eager full-tree slice-up would be
+    the same OOM class the params-only test phase fixes).
 
     Returns an equivalent pytree of host arrays; non-array leaves and arrays
     that are not fully addressable (multi-host shards) pass through unchanged
     — orbax handles those itself during save.
     """
     leaves, treedef = jax.tree.flatten(tree)
-    plans = []          # (leaf_idx, [(start_row, end_row), ...] or None)
+    plans = []          # (leaf_idx, split_axis|None, [(start, end), ...]|None)
     for i, a in enumerate(leaves):
         if (not isinstance(a, jax.Array)
                 or not getattr(a, "is_fully_addressable", True)):
-            plans.append((i, None))
-        elif a.nbytes <= chunk_bytes or a.ndim == 0 or a.shape[0] < 2:
-            plans.append((i, [(None, None)]))
-        else:
-            rows = max(1, chunk_bytes * a.shape[0] // a.nbytes)
-            plans.append((i, [(s, min(s + int(rows), a.shape[0]))
-                              for s in range(0, a.shape[0], int(rows))]))
+            plans.append((i, None, None))       # pass through unchanged
+            continue
+        axis = int(np.argmax(a.shape)) if a.ndim else 0
+        if a.nbytes <= chunk_bytes or a.ndim == 0 or a.shape[axis] < 2:
+            plans.append((i, None, [(None, None)]))  # single whole-array fetch
+            continue
+        # split along the largest axis (a (1, N, D) leaf is still chunkable)
+        n = a.shape[axis]
+        rows = max(1, int(chunk_bytes * n // a.nbytes))
+        plans.append((i, axis,
+                      [(s, min(s + rows, n)) for s in range(0, n, rows)]))
 
-    # flat piece list → fetch in waves of bounded total bytes
-    pieces = []         # (leaf_idx, piece_slot, device_piece)
-    for i, spans in plans:
+    # flat piece plan (indices only — no device slices yet)
+    pieces = []         # (leaf_idx, piece_slot, axis, start, end, nbytes)
+    for i, axis, spans in plans:
         if spans is None:
             continue
         a = leaves[i]
         for slot, (s, e) in enumerate(spans):
-            pieces.append((i, slot, a if s is None else a[s:e]))
+            nb = (a.nbytes if s is None
+                  else a.nbytes * (e - s) // a.shape[axis])
+            pieces.append((i, slot, axis, s, e, nb))
 
     parts: Dict[int, list] = {}
     w = 0
@@ -81,18 +94,25 @@ def fetch_to_host(tree, chunk_bytes: int = _FETCH_CHUNK_BYTES,
         wave, total = [], 0
         while w < len(pieces) and (not wave or total < wave_bytes):
             wave.append(pieces[w])
-            total += wave[-1][2].nbytes
+            total += pieces[w][5]
             w += 1
-        fetched = jax.device_get([p[2] for p in wave])
-        for (i, slot, _), h in zip(wave, fetched):
+        # materialize this wave's device slices only now; free them right after
+        dev = []
+        for i, _, axis, s, e, _ in wave:
+            a = leaves[i]
+            dev.append(a if s is None
+                       else a[(slice(None),) * axis + (slice(s, e),)])
+        fetched = jax.device_get(dev)
+        del dev
+        for (i, slot, *_), h in zip(wave, fetched):
             parts.setdefault(i, []).append((slot, h))
 
     out = list(leaves)
-    for i, spans in plans:
+    for i, axis, spans in plans:
         if spans is None:
             continue
         ps = [h for _, h in sorted(parts[i])]
-        out[i] = ps[0] if len(ps) == 1 else np.concatenate(ps, axis=0)
+        out[i] = ps[0] if len(ps) == 1 else np.concatenate(ps, axis=axis)
     return jax.tree.unflatten(treedef, out)
 
 

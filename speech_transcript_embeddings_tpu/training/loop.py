@@ -86,16 +86,57 @@ def preempt_agreed(local: bool) -> bool:
     return bool(np.any(flags))
 
 
-def _device_memory_gib():
-    """Device HBM in use (GiB), or None where the backend has no stats — the
-    TPU equivalent of the reference's CUDA memory print every 100 batches
-    (trainer_unfreeze.py:1148-1152)."""
-    try:
-        stats = jax.local_devices()[0].memory_stats()
-        if stats and "bytes_in_use" in stats:
-            return stats["bytes_in_use"] / 2 ** 30
-    except Exception:
-        pass
+# how _device_memory_gib reads HBM: None = undecided, "stats" = backend
+# allocator stats, "live" = client-side live-array accounting (relay backends
+# expose no allocator stats), "none" = unavailable (logged once)
+_MEM_MODE = None
+
+
+def _device_memory_gib(logger=None):
+    """Device HBM in use (GiB), or None — the TPU equivalent of the
+    reference's CUDA memory print every 100 batches
+    (trainer_unfreeze.py:1148-1152).
+
+    Prefers the backend allocator's ``memory_stats()``; where the backend
+    exposes none (the axon relay — the 877M test-phase OOM was only caught
+    because it crashed), falls back to summing the client's live ``jax.Array``
+    buffers on the first local device. That lower-bounds true HBM (no XLA
+    temporaries/fragmentation) but tracks exactly the state+batch residency
+    that drove every OOM seen so far. If neither works, log that once instead
+    of silently printing nothing.
+    """
+    global _MEM_MODE
+    dev = jax.local_devices()[0]
+    if _MEM_MODE in (None, "stats"):
+        try:
+            stats = dev.memory_stats()
+            if stats and "bytes_in_use" in stats:
+                _MEM_MODE = "stats"
+                return stats["bytes_in_use"] / 2 ** 30
+        except Exception:
+            pass
+        if _MEM_MODE == "stats":
+            return None         # worked before: transient failure, keep mode
+    if _MEM_MODE in (None, "live"):
+        try:
+            total = 0
+            for a in jax.live_arrays():
+                devs = a.devices()
+                if dev in devs:
+                    total += a.nbytes // len(devs)
+            if _MEM_MODE is None and logger is not None:
+                logger.info(
+                    "Memory telemetry: backend exposes no allocator stats; "
+                    "mem= lines report client-side live-array bytes (a lower "
+                    "bound — excludes XLA temporaries)")
+            _MEM_MODE = "live"
+            return total / 2 ** 30
+        except Exception:
+            pass
+    if _MEM_MODE is None:
+        _MEM_MODE = "none"
+        if logger is not None:
+            logger.warning("Memory telemetry unavailable on this backend")
     return None
 
 
@@ -411,11 +452,21 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
     resume_skip_batches = 0
     best_val_loss = float("inf")
     best_gap = 0.0
+    clean_history, corrupt_history = [], []
     latest_path = os.path.join(out_dir, "latest")
     if cfg.train.resume and ckpt_lib.checkpoint_exists(latest_path):
         meta = ckpt_lib.load_metadata(latest_path)
         state = place_state(ckpt_lib.restore_checkpoint(latest_path, state))
         start_epoch = meta["epoch"] + 1
+        # restore the full per-epoch validation trajectory: without it every
+        # resumed segment/preemption restarts the clean/corrupt curves, so
+        # clean_corrupt_progress.png and val_gap_trajectory silently cover
+        # only the final segment (the reference's single-process run kept the
+        # whole curve — trainer_unfreeze.py:1705-1718)
+        hist = meta.get("metrics", {}).get("val_history")
+        if hist:
+            clean_history = [float(v) for v in hist["clean"]]
+            corrupt_history = [float(v) for v in hist["corrupt"]]
         mid = meta.get("metrics", {}).get("mid_epoch")
         if mid:
             # preempted mid-epoch: re-enter the interrupted epoch and skip the
@@ -452,7 +503,6 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
         diagnostics.validate_gradient_accumulation(cfg, model, frontend, state,
                                                    probe)
 
-    clean_history, corrupt_history = [], []
     rng = jax.random.PRNGKey(cfg.train.seed + 17)
     results: dict = {}
 
@@ -461,6 +511,7 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
         t0 = time.time()
         acc = None          # device-side metric sums; fetched at log points only
         n_batches = 0
+        mem_peak = None     # max of the per-log-window HBM samples this epoch
         from speech_transcript_embeddings_tpu.data.pipeline import prefetch
         host_batches = pipeline.epoch_batches(source, "train", epoch)
         epoch_offset = 0
@@ -508,7 +559,9 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
                     f"exiting")
                 ckpt_lib.save_checkpoint(
                     latest_path, state, cfg, epoch - 1,
-                    {"mid_epoch": {"epoch": epoch, "batches_done": done}})
+                    {"mid_epoch": {"epoch": epoch, "batches_done": done},
+                     "val_history": {"clean": clean_history,
+                                     "corrupt": corrupt_history}})
                 results["preempted"] = {"epoch": epoch, "batches_done": done}
                 return results
             if profiling and n_batches >= 2 + cfg.train.profile_steps:
@@ -521,7 +574,9 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
                 # the only host sync in the batch loop: one fetch per log window
                 a = {k: float(v) for k, v in acc.items()}
                 gn = a.get("grad_norm", 0.0) / n_batches
-                mem = _device_memory_gib()
+                mem = _device_memory_gib(logger)
+                if mem is not None:
+                    mem_peak = mem if mem_peak is None else max(mem_peak, mem)
                 logger.info(
                     f"Epoch {epoch} batch {n_batches}: "
                     f"loss={a['loss'] / n_batches:.4f} "
@@ -575,18 +630,24 @@ def _run_experiment(cfg: ExperimentConfig, source, tokenizer, logger,
             f"Corrupt Sim: {val_metrics['corrupt_similarity']:.4f}, "
             f"Gap: {val_metrics['similarity_gap']:.4f}, "
             f"Time: {epoch_time:.2f}s "
-            f"({clips_per_sec:.2f} clips/s train)")
+            f"({clips_per_sec:.2f} clips/s train)"
+            + (f", peak_mem={mem_peak:.2f}GiB" if mem_peak is not None else ""))
 
         meta = {"train_metrics": train_metrics, "val_metrics": val_metrics,
                 "clips_per_sec": clips_per_sec,
                 # best-loss selection uses the training objective: val_metrics
                 # 'loss' is the masked in-batch InfoNCE when kind='global'
-                "best_loss_objective": cfg.loss.kind}
+                "best_loss_objective": cfg.loss.kind,
+                # full trajectory so far — restored on resume so progress
+                # plots/summaries survive preemption and segment chains
+                "val_history": {"clean": clean_history,
+                                "corrupt": corrupt_history}}
         ckpt_lib.save_checkpoint(latest_path, state, cfg, epoch, meta)
         # best/final checkpoints are params-only: they are reloaded only for
         # evaluation/inference (resume uses `latest`), and dropping the
-        # optimizer state cuts the 877M-geometry save from ~10 min to ~4 min
-        # through the relay's device→host path
+        # optimizer state cuts the saved bytes ~6 GB → ~1.4 GB at the 877M
+        # geometry (on top of the ~9× faster chunked d2h in fetch_to_host —
+        # one consistent measurement set, see checkpoints.py)
         if val_metrics["loss"] < best_val_loss:
             best_val_loss = val_metrics["loss"]
             logger.info(f"New best validation loss: {best_val_loss:.4f}")

@@ -140,6 +140,28 @@ def test_audio_lengths_match_examples(cfg):
     assert lens == [len(e.audio) for e in src.examples("train")]
 
 
+def test_synthetic_cv_length_profile():
+    """synthetic_length_profile='cv' generates the realistic CV-pt duration
+    mix (lognormal ~4.7 s mean) spread over multiple static buckets, with
+    audio_lengths still exact (no audio synthesis needed)."""
+    cfg = DataConfig(dataset="synthetic", num_synthetic_samples=128,
+                     synthetic_length_profile="cv", max_text_length=48)
+    src = SyntheticSource(cfg, seed=7)
+    lens = src.audio_lengths("train")
+    for i in (0, 17, 127):       # exact replay of the n_words draw
+        assert len(src.example_at("train", i).audio) == lens[i]
+    secs = np.asarray(lens) / 16000.0
+    assert 3.5 < secs.mean() < 6.0            # ~4.7 s-mean mix
+    assert secs.max() <= 42 * 0.35 + 1e-6     # capped to fit text length 48
+    # the mix lands across at least 3 of the shipped buckets
+    buckets = np.digitize(lens, [41200, 82160, 164080, 246000])
+    assert len(set(buckets.tolist())) >= 3
+    # transcripts fit the configured text length under the hash tokenizer
+    longest = max(len(src.example_at("train", i).sentence.split())
+                  for i in range(32))
+    assert longest <= 42
+
+
 def test_train_shuffle_full_permutation(cfg):
     """Every example appears exactly once per epoch (index-array shuffle, not
     a bounded reservoir), and the order differs across epochs."""

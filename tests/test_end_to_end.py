@@ -82,9 +82,19 @@ def test_resume_continues_not_restarts(run, tmp_path):
     # extend the same run directory to 3 epochs: must resume from epoch 2
     cfg3 = smoke_cfg(tmp).with_overrides({"train": {"num_epochs": 3}})
     results3 = run_experiment(cfg3)
-    assert len(results3["val_history"]["clean"]) == 1   # only epoch 3 ran
+    # the validation trajectory survives the resume: epochs 1-2 restored from
+    # the latest checkpoint's metadata + the newly trained epoch 3 — so
+    # clean_corrupt_progress.png / val_gap_trajectory cover the WHOLE run,
+    # not just the final segment (VERDICT r4 weak #4)
+    assert len(results3["val_history"]["clean"]) == 3
+    assert results3["val_history"]["clean"][:2] == pytest.approx(
+        results["val_history"]["clean"], abs=1e-6)
+    assert results3["val_history"]["corrupt"][:2] == pytest.approx(
+        results["val_history"]["corrupt"], abs=1e-6)
     meta = ckpt_lib.load_metadata(os.path.join(str(tmp), "latest"))
     assert meta["epoch"] == 3
+    # and the persisted metadata itself carries the full 3-epoch history
+    assert len(meta["metrics"]["val_history"]["clean"]) == 3
 
 
 def test_retrieval_metrics_written(run):

@@ -526,6 +526,9 @@ def test_fetch_to_host_chunked_roundtrip(setup):
     tree = {
         "big_f32": jnp.arange(64 * 33, dtype=jnp.float32).reshape(64, 33),
         "big_bf16": jnp.arange(40 * 7, dtype=jnp.bfloat16).reshape(40, 7),
+        # leading axis of 1: unsplittable along axis 0 — must chunk along the
+        # largest axis instead of falling back to one whole-array fetch
+        "lead1": jnp.arange(300, dtype=jnp.float32).reshape(1, 300),
         "small": jnp.ones((3,), jnp.float32),
         "scalar": jnp.asarray(7, jnp.int32),
         "pyleaf": 5,
@@ -533,7 +536,7 @@ def test_fetch_to_host_chunked_roundtrip(setup):
     # chunk_bytes tiny → the big leaves split into many row pieces
     host = fetch_to_host(tree, chunk_bytes=512, wave_bytes=2048)
     assert host["pyleaf"] == 5
-    for k in ("big_f32", "big_bf16", "small", "scalar"):
+    for k in ("big_f32", "big_bf16", "lead1", "small", "scalar"):
         assert isinstance(host[k], np.ndarray), k
         assert host[k].dtype == tree[k].dtype, k
         np.testing.assert_array_equal(host[k], np.asarray(tree[k]))
