@@ -4,9 +4,9 @@
 end-task measurement; ``serve --int8`` changed serving numerics with no
 quality gate).
 
-Loads a trained checkpoint (default: the frozen-bottom 48-epoch retrieval
-proxy's best-gap model — the r3 96-epoch run's checkpoints were not retained,
-only its metrics), embeds the ENTIRE
+Loads a trained checkpoint (default: the round-5 48-epoch parity rerun's
+best-gap model, `runs/parity48_retained` — retained specifically so this gate
+measures against a GOOD model, VERDICT r4 weak #2), embeds the ENTIRE
 test split both full-precision and int8-quantized (dynamic W8A8 on every
 Dense kernel, ``ops/quant.py`` — the ``serve.py --int8`` configuration), and
 reports for both:
@@ -61,7 +61,7 @@ def evaluate(emb, texts, corrupts, audios, temperature):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint",
-                    default="runs/proxy_frozen_bottom_48/best_model_gap")
+                    default="runs/parity48_retained/best_model_gap")
     ap.add_argument("--limit", type=int, default=0,
                     help="cap the test pool (0 = full split)")
     ap.add_argument("--out", default=None,
