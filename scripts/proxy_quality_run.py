@@ -36,9 +36,16 @@ overridden off to keep the geometry identical to the round-2 proxy
 """
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
+
+# debugging hook for relay-client stalls: `kill -USR1 <pid>` dumps every
+# thread's Python stack to stderr without disturbing the process
+if hasattr(signal, "SIGUSR1"):
+    faulthandler.register(signal.SIGUSR1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

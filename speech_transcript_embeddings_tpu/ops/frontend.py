@@ -115,8 +115,14 @@ class LogMelFrontend:
 
     def __init__(self, cfg: Optional[FrontendConfig] = None):
         self.cfg = cfg or FrontendConfig()
-        self._transform = jnp.asarray(make_frame_transform(self.cfg), jnp.float32)
-        self._mel = jnp.asarray(make_mel_filters(self.cfg), jnp.float32)
+        # HOST numpy, deliberately: every training/eval/embed jit closes over
+        # the frontend, so these matrices lower as inline constants. A
+        # device-resident jnp constant makes MLIR lowering fetch its value
+        # back (jax _array_mlir_constant_handler → Array._value, a blocking
+        # d2h) — observed to stall for minutes on the axon relay. Host arrays
+        # embed directly with no device round-trip and produce the same HLO.
+        self._transform = np.asarray(make_frame_transform(self.cfg), np.float32)
+        self._mel = np.asarray(make_mel_filters(self.cfg), np.float32)
 
     def __call__(self, waveform: jax.Array, num_samples: jax.Array
                  ) -> Tuple[jax.Array, jax.Array]:

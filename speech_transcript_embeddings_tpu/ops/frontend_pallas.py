@@ -251,8 +251,11 @@ class PallasLogMelFrontend(fe.LogMelFrontend):
     def __init__(self, cfg: FrontendConfig = None, interpret: bool = False,
                  fused: bool = True):
         super().__init__(cfg)
-        self._packed_transform = jnp.asarray(packed_transform(self.cfg))
-        self._packed_mel = jnp.asarray(packed_mel(self.cfg))
+        # host numpy for the same reason as LogMelFrontend.__init__: these
+        # lower as closed-over constants inside the training jits, and a
+        # device-resident constant forces a blocking d2h during lowering
+        self._packed_transform = np.asarray(packed_transform(self.cfg))
+        self._packed_mel = np.asarray(packed_mel(self.cfg))
         self._interpret = interpret
         self._fused = fused
 
