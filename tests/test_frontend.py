@@ -101,3 +101,25 @@ def test_valid_frame_count():
     got = fe.num_valid_frames(cfg, ns)
     expected = [0, 0, 1, 2, 4, 2998]
     np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+def test_frontend_constants_are_host_arrays():
+    """The frontend's transform/mel matrices MUST be host numpy: every
+    training/eval/embed jit closes over the frontend, and a device-resident
+    constant makes MLIR lowering do a blocking d2h fetch per trace
+    (Array._value) — observed to stall for minutes on relay-attached TPU
+    backends (round-5 deadlock diagnosis)."""
+    import jax
+
+    front = fe.LogMelFrontend(FrontendConfig())
+    for name in ("_transform", "_mel"):
+        a = getattr(front, name)
+        assert isinstance(a, np.ndarray) and not isinstance(a, jax.Array), name
+
+    from speech_transcript_embeddings_tpu.ops.frontend_pallas import (
+        PallasLogMelFrontend,
+    )
+    pfront = PallasLogMelFrontend(FrontendConfig())
+    for name in ("_transform", "_mel", "_packed_transform", "_packed_mel"):
+        a = getattr(pfront, name)
+        assert isinstance(a, np.ndarray) and not isinstance(a, jax.Array), name
