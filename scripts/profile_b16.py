@@ -89,72 +89,123 @@ def build(batch):
     return step, state, make_batch
 
 
-def _categorize(name: str, category: str) -> str:
-    """Bucket an XLA op event into a coarse attribution category."""
-    if category:
-        return category
-    n = name.lower()
-    for key, cat in (("convolution", "convolution"), ("conv", "convolution"),
-                     ("custom-call", "custom-call (pallas)"),
-                     ("dot", "matmul"), ("cublas", "matmul"),
-                     ("all-reduce", "collective"), ("all-gather", "collective"),
-                     ("copy", "copy/transpose"), ("transpose", "copy/transpose"),
-                     ("dynamic-update-slice", "dus"), ("slice", "slice"),
-                     ("reduce", "reduce"), ("scatter", "scatter"),
-                     ("fusion", "fusion"), ("infeed", "infeed"),
-                     ("outfeed", "outfeed")):
-        if key in n:
-            return cat
-    return "other"
+_SHAPE_RE = None
 
 
-def parse_xplane(out_dir):
-    """xplane.pb → per-category and per-op device-time aggregation.
+def _has_weight_operand(text: str) -> bool:
+    """True when the op text references a weight-like tensor (last two dims
+    both >=768 — FFN/projection/QKV weights incl. scanned ``[19,4096,1024]``
+    stacks), excluding the embedding tables. XLA fuses each GEMM with its
+    elementwise/LN epilogue into one kOutput fusion, so these fusions are the
+    MXU work even though 'dot' never appears in the event name."""
+    global _SHAPE_RE
+    if _SHAPE_RE is None:
+        import re
+        _SHAPE_RE = re.compile(r"\[(?:\d+,)*(\d+),(\d+)\]")
+    for m in _SHAPE_RE.finditer(text):
+        a, b = int(m.group(1)), int(m.group(2))
+        if a >= 768 and b >= 768 and a != 250002 and b != 250002:
+            return True
+    return False
+
+
+def _family(n: str) -> str:
+    """Bucket an XLA op into a coarse hardware-unit attribution family."""
+    head = n.split("=")[0]
+    if "attention" in n:
+        return "flash-attention kernel (MXU+VPU)"
+    if "convolution" in head or "convolution" in n.split("fusion(")[0]:
+        return "conv fusion (MXU)"
+    if "250002" in n or "50265" in n:
+        return "embedding table (HBM gather/scatter)"
+    if _has_weight_operand(n):
+        return "GEMM-bearing fusion (MXU + fused epilogue)"
+    if n.startswith("%copy") or "transpose" in head:
+        return "copy/transpose (HBM)"
+    if n.startswith(("%slice", "%dynamic-slice")):
+        return "slice (HBM)"
+    if "reduce" in head:
+        return "reduce (VPU)"
+    if n.startswith(("%fusion", "%input_fusion", "%loop_")):
+        return "elementwise/other fusion (VPU/HBM)"
+    if n.startswith("%while"):
+        return "while self"
+    return "misc"
+
+
+def parse_xplane(out_dir, steps=6):
+    """xplane.pb → serialized per-op SELF-time attribution.
 
     Parsed directly from the XSpace protobuf (the installed
-    tensorboard_plugin_profile is ABI-mismatched with this TF); device planes
-    carry one event per executed XLA op with optional ``hlo_category`` stats.
+    tensorboard_plugin_profile is ABI-mismatched with this TF). Methodology
+    (the first version of this parser summed every line of the device plane,
+    which double-counts: 'XLA Ops' events nest — a while-loop event spans its
+    body's events — and 'Async XLA Ops' are DMA transfers that OVERLAP
+    compute on separate engines; summing both inflated copy/slice to ~64%):
+
+      * only the 'XLA Ops' line is counted, with nested-event self-time
+        (a parent's time minus its children's), so the families sum to the
+        true serialized device time;
+      * async DMA busy time is reported separately as overlapped traffic;
+      * fusions are attributed by what they contain (weight-operand GEMM
+        detection), not by their HLO opcode — on TPU every matmul arrives
+        fused with its epilogue.
     """
     paths = sorted(glob.glob(os.path.join(out_dir, "plugins", "profile",
                                           "*", "*.xplane.pb")))
     if not paths:
         raise SystemExit(f"no xplane.pb under {out_dir}")
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    by_cat, by_op, planes = {}, {}, []
+    planes, self_time, async_ps, span_ps = [], {}, 0, 0
     for p in paths:
         xs = xplane_pb2.XSpace()
         with open(p, "rb") as f:
             xs.ParseFromString(f.read())
         for plane in xs.planes:
             planes.append(f"{plane.name} ({len(plane.lines)} lines)")
-            if "TPU" not in plane.name and "/device" not in plane.name:
+            if "TPU" not in plane.name:
                 continue
             ev_meta = dict(plane.event_metadata)
-            st_meta = {k: v.name for k, v in plane.stat_metadata.items()}
             for line in plane.lines:
-                # 'XLA Modules' spans whole programs — skip to avoid double
-                # counting; op lines carry the per-op events
-                if "module" in line.name.lower():
+                evs = sorted(
+                    (ev.offset_ps, ev.duration_ps,
+                     ev_meta[ev.metadata_id].name
+                     if ev.metadata_id in ev_meta else "?")
+                    for ev in line.events)
+                if line.name == "Async XLA Ops":
+                    async_ps += sum(d for _, d, _ in evs)
+                if line.name != "XLA Ops":
                     continue
-                for ev in line.events:
-                    md = ev_meta.get(ev.metadata_id)
-                    name = md.name if md else "?"
-                    cat = ""
-                    for s in ev.stats:
-                        if st_meta.get(s.metadata_id) == "hlo_category":
-                            cat = s.str_value
-                    cat = _categorize(name, cat)
-                    by_cat[cat] = by_cat.get(cat, 0) + ev.duration_ps
-                    by_op[name] = by_op.get(name, 0) + ev.duration_ps
-    total = sum(by_cat.values()) or 1
-    cats = [{"category": c, "time_pct": round(100.0 * t / total, 2),
-             "time_us": round(t / 1e6, 1)}
-            for c, t in sorted(by_cat.items(), key=lambda kv: -kv[1])]
-    ops = [{"op": o[:120], "time_pct": round(100.0 * t / total, 2),
-            "time_us": round(t / 1e6, 1)}
-           for o, t in sorted(by_op.items(), key=lambda kv: -kv[1])[:20]]
-    return paths, {"planes": planes, "total_device_time_us": round(total / 1e6, 1),
-                   "by_category": cats, "top_ops": ops}
+                if evs:
+                    span_ps = max(span_ps,
+                                  evs[-1][0] + evs[-1][1] - evs[0][0])
+                stack = []
+                for off, dur, name in evs:
+                    while stack and off >= stack[-1][0] + stack[-1][1]:
+                        stack.pop()
+                    if stack:   # child: subtract from enclosing event
+                        pk = stack[-1][2]
+                        self_time[pk] = self_time.get(pk, 0) - dur
+                    self_time[name] = self_time.get(name, 0) + dur
+                    stack.append((off, dur, name))
+    by_fam = {}
+    for name, t in self_time.items():
+        if t > 0:
+            f = _family(name)
+            by_fam[f] = by_fam.get(f, 0) + t
+    total = sum(by_fam.values()) or 1
+    fams = [{"family": c, "time_pct": round(100.0 * t / total, 2),
+             "ms_per_step": round(t / steps / 1e9, 2)}
+            for c, t in sorted(by_fam.items(), key=lambda kv: -kv[1])]
+    ops = [{"op": o[:160], "time_pct": round(100.0 * t / total, 2),
+            "ms_per_step": round(t / steps / 1e9, 2)}
+           for o, t in sorted(self_time.items(), key=lambda kv: -kv[1])[:20]]
+    return paths, {
+        "planes": planes,
+        "device_ms_per_step": round(total / steps / 1e9, 2),
+        "device_busy_fraction_of_span": round(total / max(span_ps, 1), 3),
+        "async_dma_ms_per_step_overlapped": round(async_ps / steps / 1e9, 2),
+        "by_family": fams, "top_ops": ops}
 
 
 def main():
@@ -162,8 +213,26 @@ def main():
     ap.add_argument("--out", default="runs/profile_b16")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--parse-only", action="store_true",
+                    help="re-run the attribution on an existing xplane.pb "
+                         "without touching the chip (wall-clock ms/step is "
+                         "then taken from the device trace, not re-measured)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+
+    if args.parse_only:
+        paths, agg = parse_xplane(args.out, steps=args.steps)
+        summary = {"batch": args.batch,
+                   "ms_per_step": agg["device_ms_per_step"],
+                   "clips_per_sec": round(
+                       args.batch / (agg["device_ms_per_step"] / 1e3), 2),
+                   "xplane": paths, **agg}
+        with open(os.path.join(args.out, "profile_attribution.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps({"device_ms_per_step": agg["device_ms_per_step"],
+                          "by_family": agg["by_family"]}, indent=2))
+        print(f"written: {args.out}/profile_attribution.json")
+        return
 
     from speech_transcript_embeddings_tpu.utils.compilation_cache import enable
     enable()
@@ -189,18 +258,22 @@ def main():
     print(f"traced {args.steps} steps, {dt * 1e3:.1f} ms/step "
           f"({args.batch / dt:.1f} clips/s)")
 
-    paths, agg = parse_xplane(args.out)
+    paths, agg = parse_xplane(args.out, steps=args.steps)
     summary = {
         "batch": args.batch,
-        "ms_per_step": round(dt * 1e3, 2),
-        "clips_per_sec": round(args.batch / dt, 2),
+        # NOTE: wall ms/step while TRACING is inflated by host-side profiler
+        # overhead through the relay (measured 138 s/step vs a 300 ms/step
+        # device burst); device_ms_per_step is the meaningful number
+        "traced_wall_ms_per_step": round(dt * 1e3, 2),
+        "clips_per_sec_device": round(
+            args.batch / (agg["device_ms_per_step"] / 1e3), 2),
         "xplane": paths,
         **agg,
     }
     with open(os.path.join(args.out, "profile_attribution.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps({"planes": agg["planes"],
-                      "by_category": agg["by_category"][:10]}, indent=2))
+    print(json.dumps({"device_ms_per_step": agg["device_ms_per_step"],
+                      "by_family": agg["by_family"]}, indent=2))
     print(f"written: {args.out}/profile_attribution.json")
 
 
