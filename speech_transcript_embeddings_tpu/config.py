@@ -291,7 +291,12 @@ class FreezeConfig:
     # plateaued at ~0.12 by epoch 6 vs the unfrozen baseline's 84.2% R@1 /
     # 0.359 gap at 48) because frozen random tables carry no signal; it is
     # sound only when the frozen bottom is pretrained (the reference's actual
-    # setting — see the warm-start proxy in ROUND4.md). Not a preset default.
+    # setting). Measured in that regime (r5 warm-start A/B, ROUND5.md): both
+    # arms warm-started from an 8-epoch midsize checkpoint and continued 2
+    # epochs — frozen R@1 15.58% / MRR 0.256 vs unfrozen 15.77% / 0.260,
+    # parity within noise while retrieval doubled in both arms. Not a preset
+    # default (from-scratch collapse risk), but the recommended setting for
+    # warm-started fine-tuning, which is every reference run's regime.
     train_text_embeddings: bool = True
     train_audio_feature_projection: bool = True
 
